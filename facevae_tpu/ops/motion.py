@@ -1,0 +1,68 @@
+"""Dense motion-field construction from keypoint pairs.
+
+Parity with /root/reference/utils.py:139-179: K+1 heatmap differences, K+1
+sparse 3D motion fields with jacobian Rs @ Rd^-1, and per-keypoint trilinear
+warps of the (compressed) appearance volume.
+
+TPU notes: the (K+1)-way warp is the FLOP/bandwidth hog of MFE.  Layouts are
+channel-last ([N,D,H,W,C]); the warp folds the K+1 axis into the batch so one
+big grid_sample_3d runs instead of K+1 small ones.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from facevae_tpu.ops.geometry import make_coordinate_grid_3d
+from facevae_tpu.ops.heatmap import kp2gaussian_3d
+from facevae_tpu.ops.grid_sample import grid_sample_3d
+
+
+def create_heatmap_representations(fs: jnp.ndarray, kp_s: jnp.ndarray,
+                                   kp_d: jnp.ndarray) -> jnp.ndarray:
+    """Difference-of-gaussians heatmaps, with a leading zero channel.
+
+    fs: [N,D,H,W,C] (only spatial size used); kp_*: [N,K,3].
+    Returns [N,K+1,D,H,W] (reference returns [N,K+1,1,D,H,W]; the singleton
+    channel axis is added by the caller when concatenating).
+    Reference utils.py:139-149.
+    """
+    spatial = fs.shape[1:4]
+    heat = kp2gaussian_3d(kp_d, spatial) - kp2gaussian_3d(kp_s, spatial)
+    zeros = jnp.zeros(heat.shape[:1] + (1,) + heat.shape[2:], heat.dtype)
+    return jnp.concatenate([zeros, heat], axis=1)
+
+
+def create_sparse_motions(fs: jnp.ndarray, kp_s: jnp.ndarray, kp_d: jnp.ndarray,
+                          Rs: jnp.ndarray, Rd: jnp.ndarray) -> jnp.ndarray:
+    """K+1 candidate backward warps (driving -> source coordinates).
+
+    fs: [N,D,H,W,C]; kp_*: [N,K,3]; Rs/Rd: [N,3,3].
+    Returns [N,K+1,D,H,W,3] — channel 0 is the identity grid.
+    motion_k(p) = Rs Rd^-1 (p - kp_d_k) + kp_s_k   (reference utils.py:152-165).
+    """
+    N = fs.shape[0]
+    D, H, W = fs.shape[1:4]
+    K = kp_s.shape[1]
+    grid = make_coordinate_grid_3d((D, H, W), dtype=fs.dtype)          # [D,H,W,3]
+    identity = jnp.broadcast_to(grid[None, None], (N, 1, D, H, W, 3))
+    coords = grid[None, None] - kp_d[:, :, None, None, None, :]        # [N,K,D,H,W,3]
+    jac = jnp.matmul(Rs, jnp.linalg.inv(Rd))                           # [N,3,3]
+    # rotate each displacement: jac @ v  -> einsum over the coord axis
+    coords = jnp.einsum("nij,nkdhwj->nkdhwi", jac, coords)
+    driving_to_source = coords + kp_s[:, :, None, None, None, :]
+    return jnp.concatenate([identity, driving_to_source], axis=1)
+
+
+def create_deformed_source_image(fs: jnp.ndarray, sparse_motions: jnp.ndarray) -> jnp.ndarray:
+    """Warp fs by each of the K+1 sparse motions.
+
+    fs: [N,D,H,W,C]; sparse_motions: [N,K+1,D,H,W,3].
+    Returns [N,K+1,D,H,W,C].  Reference utils.py:168-179 (grid_sample 3D,
+    align_corners=True, zeros padding).
+    """
+    N, D, H, W, C = fs.shape
+    K1 = sparse_motions.shape[1]
+    src = jnp.broadcast_to(fs[:, None], (N, K1, D, H, W, C)).reshape(N * K1, D, H, W, C)
+    grids = sparse_motions.reshape(N * K1, D, H, W, 3)
+    warped = grid_sample_3d(src, grids, align_corners=True, padding_mode="zeros")
+    return warped.reshape(N, K1, D, H, W, C)

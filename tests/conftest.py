@@ -1,0 +1,26 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+This is the "multi-node without a real cluster" mechanism (SURVEY.md §4):
+DP/psum/SyncBN semantics are testable without TPU hardware.  Env vars must be
+set before jax initializes.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment; force cpu
+# through the config API (must happen before any backend is initialized).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
