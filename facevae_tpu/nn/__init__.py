@@ -1,0 +1,21 @@
+"""Neural building blocks (layer L2, reference modules.py / models_utils.py).
+
+flax.linen modules, channel-last layouts, torch-default initialization (so
+fresh-init training statistically matches the reference's early loss curves).
+
+Collections:
+  'params'       — trainable weights
+  'batch_stats'  — BatchNorm running mean/var
+  'spectral'     — spectral-norm power-iteration vectors (u)
+"""
+from facevae_tpu.nn.init import torch_kernel_init, torch_bias_init
+from facevae_tpu.nn.layers import Conv, Dense, BatchNorm, InstanceNorm
+from facevae_tpu.nn.blocks import (
+    ConvBlock,
+    DownBlock2D, DownBlock3D,
+    UpBlock2D, UpBlock3D,
+    SameBlock2D, SameBlock3D,
+    ResBlock2D, ResBlock3D,
+    ResBottleneck,
+)
+from facevae_tpu.nn.elr import LinearELR

@@ -1,0 +1,208 @@
+"""Pattern-string conv blocks mirroring reference modules.py:8-152.
+
+Pattern chars: C = conv (optionally spectral-normed), N = norm (batch /
+instance / none), A = nonlinearity (relu / leakyrelu 0.2).  Norm channels
+follow the reference rule (modules.py:13): out_channels if C precedes N in
+the pattern, else in_channels.
+
+Down/Up/Same/Res blocks are structural: conv + avgpool, nearest-upsample +
+conv, 1x1 conv, and pre-activation NAC-NAC residual.  3D variants pool /
+upsample only H,W — the depth axis is preserved (modules.py:75,94).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from facevae_tpu.nn.layers import Conv, BatchNorm, InstanceNorm
+from facevae_tpu.ops.interpolate import (
+    avg_pool_2d, avg_pool_3d, upsample_nearest_2d, upsample_nearest_3d,
+)
+
+
+def _nonlinearity(kind: str, x):
+    if kind == "relu":
+        return nn.relu(x)
+    if kind == "leakyrelu":
+        return nn.leaky_relu(x, negative_slope=0.2)
+    raise ValueError(kind)
+
+
+class ConvBlock(nn.Module):
+    """Reference _ConvBlock (modules.py:8-42), dim-generic."""
+
+    pattern: str                      # e.g. "CNA", "NAC", "CN"
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, ...]]
+    stride: Union[int, Tuple[int, ...]] = 1
+    padding: Union[int, Tuple[int, ...]] = 0
+    use_weight_norm: bool = False
+    dim: int = 2
+    norm_type: str = "batch"          # "batch" | "instance" | "none"
+    nonlinearity_type: str = "relu"
+    axis_name: Optional[str] = None   # SyncBN mesh axis
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c_pos = self.pattern.find("C")
+        n_pos = self.pattern.find("N")
+        norm_channels = self.out_channels if 0 <= c_pos < n_pos or n_pos < 0 else self.in_channels
+        for ch in self.pattern:
+            if ch == "C":
+                x = Conv(self.out_channels, self.kernel_size, self.stride, self.padding,
+                         dim=self.dim, use_spectral_norm=self.use_weight_norm)(x, train)
+            elif ch == "N":
+                if self.norm_type == "batch":
+                    x = BatchNorm(norm_channels, axis_name=self.axis_name)(x, train)
+                elif self.norm_type == "instance":
+                    x = InstanceNorm(norm_channels)(x, train)
+                elif self.norm_type != "none":
+                    raise ValueError(self.norm_type)
+            elif ch == "A":
+                x = _nonlinearity(self.nonlinearity_type, x)
+            else:
+                raise ValueError(ch)
+        return x
+
+
+class DownBlock2D(nn.Module):
+    """conv3x3 CNA + avgpool2 (modules.py:59-70)."""
+
+    in_channels: int
+    out_channels: int
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
+                      self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
+        return avg_pool_2d(x, 2)
+
+
+class DownBlock3D(nn.Module):
+    """conv3x3x3 CNA + avgpool(1,2,2) (modules.py:73-75)."""
+
+    in_channels: int
+    out_channels: int
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
+                      self.use_weight_norm, dim=3, axis_name=self.axis_name)(x, train)
+        return avg_pool_3d(x, (1, 2, 2))
+
+
+class UpBlock2D(nn.Module):
+    """nearest-upsample2 + conv3x3 CNA (modules.py:78-89)."""
+
+    in_channels: int
+    out_channels: int
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = upsample_nearest_2d(x, 2)
+        return ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
+                         self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
+
+
+class UpBlock3D(nn.Module):
+    """nearest-upsample(1,2,2) + conv3x3x3 CNA (modules.py:92-94)."""
+
+    in_channels: int
+    out_channels: int
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = upsample_nearest_3d(x, (1, 2, 2))
+        return ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
+                         self.use_weight_norm, dim=3, axis_name=self.axis_name)(x, train)
+
+
+class SameBlock2D(nn.Module):
+    """1x1 conv CNA (modules.py:97-108)."""
+
+    in_channels: int
+    out_channels: int
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return ConvBlock("CNA", self.in_channels, self.out_channels, 1, 1, 0,
+                         self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
+
+
+class SameBlock3D(nn.Module):
+    in_channels: int
+    out_channels: int
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return ConvBlock("CNA", self.in_channels, self.out_channels, 1, 1, 0,
+                         self.use_weight_norm, dim=3, axis_name=self.axis_name)(x, train)
+
+
+class ResBlock2D(nn.Module):
+    """pre-activation NAC-NAC residual (modules.py:116-130)."""
+
+    channels: int
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
+                      self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
+        h = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
+                      self.use_weight_norm, dim=2, axis_name=self.axis_name)(h, train)
+        return x + h
+
+
+class ResBlock3D(nn.Module):
+    channels: int
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
+                      self.use_weight_norm, dim=3, axis_name=self.axis_name)(x, train)
+        h = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
+                      self.use_weight_norm, dim=3, axis_name=self.axis_name)(h, train)
+        return x + h
+
+
+class ResBottleneck(nn.Module):
+    """ResNet bottleneck with CN shortcut when shape changes (modules.py:138-152)."""
+
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        shortcut = x
+        if self.stride != 1 or self.in_channels != self.out_channels:
+            shortcut = ConvBlock("CN", self.in_channels, self.out_channels, 1, self.stride, 0,
+                                 self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
+        h = ConvBlock("CNA", self.in_channels, self.out_channels // 4, 1, 1, 0,
+                      self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
+        h = ConvBlock("CNA", self.out_channels // 4, self.out_channels // 4, 3, self.stride, 1,
+                      self.use_weight_norm, dim=2, axis_name=self.axis_name)(h, train)
+        h = ConvBlock("CN", self.out_channels // 4, self.out_channels, 1, 1, 0,
+                      self.use_weight_norm, dim=2, axis_name=self.axis_name)(h, train)
+        return nn.relu(shortcut + h)

@@ -1,0 +1,193 @@
+"""Golden tests: nn layers/blocks vs torch with copied weights."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+from torch import nn as tnn
+import pytest
+
+from facevae_tpu.nn import (
+    Conv, Dense, BatchNorm, InstanceNorm, ConvBlock,
+    DownBlock2D, UpBlock3D, ResBlock2D, ResBottleneck, LinearELR,
+)
+
+
+def nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def test_conv2d_parity(rng):
+    x = rng.randn(2, 9, 9, 4).astype(np.float32)
+    m = Conv(6, 3, strides=2, padding=1, dim=2)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tconv = tnn.Conv2d(4, 6, 3, 2, 1)
+    # copy jax weights into torch: HWIO -> OIHW
+    k = np.asarray(variables["params"]["kernel"])
+    with torch.no_grad():
+        tconv.weight.copy_(torch.as_tensor(np.transpose(k, (3, 2, 0, 1))))
+        tconv.bias.copy_(torch.as_tensor(np.asarray(variables["params"]["bias"])))
+    got = np.asarray(m.apply(variables, jnp.asarray(x)))
+    expect = tconv(torch.as_tensor(nchw(x))).detach().numpy()
+    np.testing.assert_allclose(got, nhwc(expect), rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_parity(rng):
+    x = rng.randn(2, 4, 8, 8, 3).astype(np.float32)
+    m = Conv(5, 3, strides=1, padding=1, dim=3)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tconv = tnn.Conv3d(3, 5, 3, 1, 1)
+    k = np.asarray(variables["params"]["kernel"])  # DHWIO
+    with torch.no_grad():
+        tconv.weight.copy_(torch.as_tensor(np.transpose(k, (4, 3, 0, 1, 2))))
+        tconv.bias.copy_(torch.as_tensor(np.asarray(variables["params"]["bias"])))
+    got = np.asarray(m.apply(variables, jnp.asarray(x)))
+    expect = tconv(torch.as_tensor(np.transpose(x, (0, 4, 1, 2, 3)))).detach().numpy()
+    np.testing.assert_allclose(got, np.transpose(expect, (0, 2, 3, 4, 1)), rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_train_and_eval_parity(rng):
+    x1 = rng.randn(4, 6, 6, 5).astype(np.float32) * 2 + 1
+    x2 = rng.randn(4, 6, 6, 5).astype(np.float32)
+    m = BatchNorm(5)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x1), train=True)
+    tbn = tnn.BatchNorm2d(5)
+
+    # two training steps, check outputs and running stats track torch
+    v = variables
+    for x in (x1, x2):
+        got, updates = m.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+        v = {**v, "batch_stats": updates["batch_stats"]}
+        expect = tbn(torch.as_tensor(nchw(x))).detach().numpy()
+        np.testing.assert_allclose(np.asarray(got), nhwc(expect), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v["batch_stats"]["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v["batch_stats"]["var"]),
+                               tbn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+    # eval mode uses running stats
+    tbn.eval()
+    got_eval = np.asarray(m.apply(v, jnp.asarray(x1), train=False))
+    expect_eval = tbn(torch.as_tensor(nchw(x1))).detach().numpy()
+    np.testing.assert_allclose(got_eval, nhwc(expect_eval), rtol=1e-4, atol=1e-4)
+
+
+def test_sync_batchnorm_equals_global_batchnorm(rng):
+    """pmean'd per-device stats == single-device stats on the concatenated batch."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    x = rng.randn(8, 4, 4, 3).astype(np.float32)
+    m_sync = BatchNorm(3, axis_name="data")
+    m_ref = BatchNorm(3)
+    v = m_ref.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    def fwd(xs):
+        out, upd = m_sync.apply(v, xs, train=True, mutable=["batch_stats"])
+        return out, upd["batch_stats"]["mean"], upd["batch_stats"]["var"]
+
+    out_sync, mean_sync, var_sync = jax.jit(shard_map(
+        fwd, mesh=mesh, in_specs=P("data"), out_specs=(P("data"), P(), P())))(jnp.asarray(x))
+
+    out_ref, upd_ref = m_ref.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_sync), np.asarray(out_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean_sync), np.asarray(upd_ref["batch_stats"]["mean"]),
+                               rtol=1e-4, atol=1e-6)
+    # unbiased-var correction differs: sync uses global count (torch SyncBN does too)
+    np.testing.assert_allclose(np.asarray(var_sync), np.asarray(upd_ref["batch_stats"]["var"]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_instance_norm_parity(rng):
+    x = rng.randn(2, 5, 5, 4).astype(np.float32)
+    m = InstanceNorm(4)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tin = tnn.InstanceNorm2d(4, affine=True)
+    got = np.asarray(m.apply(v, jnp.asarray(x)))
+    expect = tin(torch.as_tensor(nchw(x))).detach().numpy()
+    np.testing.assert_allclose(got, nhwc(expect), rtol=1e-4, atol=1e-5)
+
+
+def test_spectral_norm_conv_parity(rng):
+    """Our spectral-normed conv matches torch.nn.utils.spectral_norm given the
+    same weights and power-iteration state, over several training steps."""
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)
+    m = Conv(4, 3, 1, 1, dim=2, use_spectral_norm=True)
+    v = m.init(jax.random.PRNGKey(1), jnp.asarray(x), train=True)
+
+    tconv = tnn.Conv2d(3, 4, 3, 1, 1)
+    k = np.asarray(v["params"]["kernel"])
+    with torch.no_grad():
+        tconv.weight.copy_(torch.as_tensor(np.transpose(k, (3, 2, 0, 1))))
+        tconv.bias.copy_(torch.as_tensor(np.asarray(v["params"]["bias"])))
+    tconv = tnn.utils.spectral_norm(tconv)
+    # align power-iteration state: torch weight_mat is (O, I*KH*KW); ours is
+    # (O, KH*KW*I).  sigma is permutation-invariant but v is not, so seed torch
+    # with OUR u and let both sides iterate from the same u.
+    with torch.no_grad():
+        tconv.weight_u.copy_(torch.as_tensor(np.asarray(v["spectral"]["u"])))
+
+    for step in range(3):
+        got, updates = m.apply(v, jnp.asarray(x), train=True, mutable=["spectral"])
+        v = {**v, "spectral": updates["spectral"]}
+        tconv.train()
+        expect = tconv(torch.as_tensor(nchw(x))).detach().numpy()
+        np.testing.assert_allclose(np.asarray(got), nhwc(expect), rtol=1e-3, atol=1e-4)
+
+
+def test_convblock_nac_and_bottleneck_smoke(rng):
+    x = rng.randn(2, 8, 8, 6).astype(np.float32)
+    blk = ConvBlock("NAC", 6, 6, 3, 1, 1, dim=2)
+    v = blk.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    y, _ = blk.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 8, 8, 6)
+
+    rb = ResBottleneck(6, 8, stride=2)
+    v = rb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    y, _ = rb.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 4, 4, 8)
+    assert (np.asarray(y) >= 0).all()  # final relu
+
+
+def test_down_up_blocks_shapes(rng):
+    x = rng.randn(2, 8, 8, 4).astype(np.float32)
+    db = DownBlock2D(4, 6)
+    v = db.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    y, _ = db.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 4, 4, 6)
+
+    vol = rng.randn(2, 3, 4, 4, 4).astype(np.float32)
+    ub = UpBlock3D(4, 2)
+    v = ub.init(jax.random.PRNGKey(0), jnp.asarray(vol), train=True)
+    y, _ = ub.apply(v, jnp.asarray(vol), train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 3, 8, 8, 2)
+
+
+def test_linear_elr_parity(rng):
+    """LinearELR vs a torch oracle re-deriving modules.py:155-223 semantics."""
+    import math
+    x = rng.randn(3, 8).astype(np.float32)
+    for norm, act in [(None, None), ("demod", "leakyrelu"), (None, "relu")]:
+        m = LinearELR(8, 5, norm=norm, act=act)
+        v = m.init(jax.random.PRNGKey(2), jnp.asarray(x))
+        w = torch.as_tensor(np.asarray(v["params"]["weight"]))
+        b = torch.as_tensor(np.asarray(v["params"]["bias"]))
+        gain = {None: 1.0, "relu": math.sqrt(2.0),
+                "leakyrelu": math.sqrt(2.0 / (1.0 + 0.04))}[act]
+        if norm == "demod":
+            weff = F.normalize(w, dim=1) * gain
+        else:
+            weff = w * (gain / math.sqrt(8))
+        expect = F.linear(torch.as_tensor(x), weff, b)
+        if act == "relu":
+            expect = F.relu(expect)
+        elif act == "leakyrelu":
+            expect = F.leaky_relu(expect, 0.2)
+        got = np.asarray(m.apply(v, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expect.numpy(), rtol=1e-4, atol=1e-5)
