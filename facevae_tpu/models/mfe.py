@@ -1,0 +1,71 @@
+"""MFE — motion field estimator (reference models.py:1040-1082).
+
+Compresses the appearance volume 32->4 channels, builds (K+1) heatmap diffs +
+(K+1) sparse motions + (K+1) warped sources, runs a 3D U-net hourglass over
+the concatenation, and emits:
+  deformation [N,D,H,W,3] = sum_k mask_k * sparse_motion_k
+  occlusion   [N,H,W,1]   = sigmoid(2D conv over the depth-flattened features)
+  mask        [N,D,H,W,K+1]
+
+Input channel layout is k-major ([heat_k, deformed_k(4ch)] per keypoint),
+matching torch's cat(dim=2).view(N,-1,D,H,W) so checkpoints port exactly.
+This is the FLOPs hog of the whole model; the (K+1)-way warp is batched into
+one grid_sample_3d call (see ops/motion.py).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from facevae_tpu.nn import Conv, DownBlock3D, UpBlock3D
+from facevae_tpu.ops.motion import (
+    create_heatmap_representations, create_sparse_motions, create_deformed_source_image,
+)
+
+
+class MFE(nn.Module):
+    down_seq: Sequence[int] = (80, 64, 128, 256, 512, 1024)
+    up_seq: Sequence[int] = (1024, 512, 256, 128, 64, 32)
+    K: int = 15
+    D: int = 16
+    C1: int = 32
+    C2: int = 4
+    use_weight_norm: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, fs, kp_s, kp_d, Rs, Rd, train: bool = True):
+        ax = self.axis_name
+        N, D, H, W, _ = fs.shape
+        K1 = self.K + 1
+        fs_compressed = Conv(self.C2, 1, 1, 0, dim=3, name="compress")(fs, train)
+
+        heatmap = create_heatmap_representations(fs_compressed, kp_s, kp_d)  # [N,K+1,D,H,W]
+        sparse_motion = create_sparse_motions(fs_compressed, kp_s, kp_d, Rs, Rd)
+        deformed = create_deformed_source_image(fs_compressed, sparse_motion)  # [N,K+1,D,H,W,C2]
+
+        # k-major channel packing: [heat_k, deformed_k...] per keypoint
+        per_k = jnp.concatenate([heatmap[..., None], deformed], axis=-1)     # [N,K+1,D,H,W,1+C2]
+        inp = per_k.transpose(0, 2, 3, 4, 1, 5).reshape(N, D, H, W, K1 * (1 + self.C2))
+
+        x = inp
+        for i in range(len(self.down_seq) - 1):
+            x = DownBlock3D(self.down_seq[i], self.down_seq[i + 1],
+                            self.use_weight_norm, axis_name=ax)(x, train)
+        for i in range(len(self.up_seq) - 1):
+            x = UpBlock3D(self.up_seq[i], self.up_seq[i + 1],
+                          self.use_weight_norm, axis_name=ax)(x, train)
+        x = jnp.concatenate([inp, x], axis=-1)                   # [N,D,H,W,80+32]
+
+        mask = Conv(K1, 7, 1, 3, dim=3, name="mask_conv")(x, train)
+        mask = nn.softmax(mask, axis=-1)                         # [N,D,H,W,K+1]
+        deformation = jnp.einsum("ndhwk,nkdhwc->ndhwc", mask, sparse_motion)
+
+        # torch view(N, C*D, H, W): channel = c*D + d -> transpose C before D
+        C = x.shape[-1]
+        flat = x.transpose(0, 2, 3, 4, 1).reshape(N, H, W, C * D)
+        occlusion = Conv(1, 7, 1, 3, dim=2, name="occlusion_conv")(flat, train)
+        occlusion = nn.sigmoid(occlusion)                        # [N,H,W,1]
+        return deformation, occlusion, mask

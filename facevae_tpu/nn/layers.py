@@ -50,7 +50,9 @@ class Conv(nn.Module):
         st = (self.strides,) * d if isinstance(self.strides, int) else tuple(self.strides)
         pd = (self.padding,) * d if isinstance(self.padding, int) else tuple(self.padding)
         in_features = x.shape[-1]
-        fan_in = in_features * int(jnp.prod(jnp.asarray(ks)))
+        fan_in = in_features
+        for k in ks:
+            fan_in *= int(k)
 
         kernel = self.param("kernel", torch_kernel_init(fan_in), ks + (in_features, self.features))
 

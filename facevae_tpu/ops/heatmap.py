@@ -35,6 +35,34 @@ def heatmap2kp(heatmap: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("nkdhw,dhwc->nkc", heatmap, grid)
 
 
+def out2heatmap_cl(out: jnp.ndarray, temperature: float = 0.1) -> jnp.ndarray:
+    """Channel-last variant: out [N,D,H,W,K] -> softmax over (D,H,W) per (n,k)."""
+    shape = out.shape
+    flat = out.reshape(shape[0], -1, shape[-1])
+    heat = jax.nn.softmax(flat / temperature, axis=1)
+    return heat.reshape(shape)
+
+
+def heatmap2kp_cl(heatmap: jnp.ndarray) -> jnp.ndarray:
+    """Channel-last soft-argmax: [N,D,H,W,K] -> [N,K,3]."""
+    grid = make_coordinate_grid_3d(heatmap.shape[1:4], dtype=heatmap.dtype)
+    return jnp.einsum("ndhwk,dhwc->nkc", heatmap, grid)
+
+
+def kp2gaussian_3d_cl(kp: jnp.ndarray, spatial_size, kp_variance: float = 0.01) -> jnp.ndarray:
+    """Channel-last gaussian rendering: [N,K,3] -> [N,D,H,W,K]."""
+    grid = make_coordinate_grid_3d(spatial_size, dtype=kp.dtype)      # [D,H,W,3]
+    diff = grid[None, :, :, :, None, :] - kp[:, None, None, None, :, :]
+    return jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1) / kp_variance)
+
+
+def kp2gaussian_2d_cl(kp: jnp.ndarray, spatial_size, kp_variance: float = 0.01) -> jnp.ndarray:
+    """Channel-last gaussian rendering: [N,K,2] -> [N,H,W,K]."""
+    grid = make_coordinate_grid_2d(spatial_size, dtype=kp.dtype)      # [H,W,2]
+    diff = grid[None, :, :, None, :] - kp[:, None, None, :, :]
+    return jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1) / kp_variance)
+
+
 def kp2gaussian_2d(kp: jnp.ndarray, spatial_size, kp_variance: float = 0.01) -> jnp.ndarray:
     """Isotropic gaussian bumps at keypoint (x,y) locations.
 
