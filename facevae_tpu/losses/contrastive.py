@@ -1,0 +1,89 @@
+"""SimSiam contrastive loss on EFE encoder features
+(reference ContrastiveLoss_linear, losses.py:243-278, mode="non-direction").
+
+3-layer MLP projector (Linear-BN-ReLU x2, Linear+BN(affine=False)) and
+2-layer predictor; loss = 1 - 0.5*(cos(p1, sg(z2)) + cos(p2, sg(z1))).
+
+The reference SyncBatchNorm-converts this module (trainer.py:261) but gives
+its parameters NO optimizer and no DDP wrapper (quirk q7) — they receive
+gradients but never update.  Default here mirrors that via optimizer masking
+(train/optim.py); LossConfig.train_contrastive_head=True opts into training.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from facevae_tpu.nn import Dense, BatchNorm
+
+
+def _cosine(a, b, eps=1e-8):
+    """torch nn.CosineSimilarity(dim=1) parity."""
+    num = jnp.sum(a * b, axis=1)
+    den = jnp.maximum(jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(b, axis=1), eps)
+    return num / den
+
+
+class _Projector(nn.Module):
+    hid_dim: int
+    out_dim: int
+    axis_name: Optional[str]
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ax = self.axis_name
+        x = Dense(self.hid_dim, use_bias=False, name="proj_fc1")(x)
+        x = BatchNorm(self.hid_dim, axis_name=ax, name="proj_bn1")(x, train)
+        x = nn.relu(x)
+        x = Dense(self.hid_dim, use_bias=False, name="proj_fc2")(x)
+        x = BatchNorm(self.hid_dim, axis_name=ax, name="proj_bn2")(x, train)
+        x = nn.relu(x)
+        x = Dense(self.out_dim, use_bias=True, name="proj_fc3")(x)
+        x = BatchNorm(self.out_dim, axis_name=ax, use_scale_bias=False,
+                      name="proj_bn3")(x, train)
+        return x
+
+
+class _Predictor(nn.Module):
+    hid_dim: int
+    out_dim: int
+    axis_name: Optional[str]
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ax = self.axis_name
+        x = Dense(self.hid_dim, use_bias=False, name="pred_fc1")(x)
+        x = BatchNorm(self.hid_dim, axis_name=ax, name="pred_bn1")(x, train)
+        x = nn.relu(x)
+        return Dense(self.out_dim, name="pred_fc2")(x)
+
+
+class ContrastiveHead(nn.Module):
+    in_dim: int = 512
+    hid_dim: int = 512
+    out_dim: int = 512
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, f1: jnp.ndarray, f2: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        f1 = f1.reshape(f1.shape[0], -1)
+        f2 = f2.reshape(f2.shape[0], -1)
+        project = _Projector(self.hid_dim, self.out_dim, self.axis_name, name="projection")
+        predict = _Predictor(self.hid_dim, self.out_dim, self.axis_name, name="predictor")
+        z1 = project(f1, train)
+        z2 = project(f2, train)
+        p1 = predict(z1, train)
+        p2 = predict(z2, train)
+        sg = jax.lax.stop_gradient
+        return 1.0 - (_cosine(p1, sg(z2)).mean() + _cosine(p2, sg(z1)).mean()) * 0.5
+
+
+def contrastive_loss(f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:
+    """mode="direction" variant: 1 - cos(f1, f2) on raw features
+    (losses.py:277)."""
+    f1 = f1.reshape(f1.shape[0], -1)
+    f2 = f2.reshape(f2.shape[0], -1)
+    return 1.0 - _cosine(f1, f2).mean()

@@ -96,7 +96,7 @@ def avg_pool_3d(x: jnp.ndarray, window=(1, 2, 2)) -> jnp.ndarray:
 
 def max_pool_2d(x: jnp.ndarray, window: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
     """[N,H,W,C] max pool, torch nn.MaxPool2d(window, stride, padding) parity."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x, neg, lax.max,
         window_dimensions=(1, window, window, 1),
