@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark: VoxCeleb-256² training throughput, frames/sec/chip.
+
+Runs the FULL training step (generator+discriminator updates, all 10 losses,
+SyncBN-free single-chip path) on synthetic 256² batches on the available
+accelerator and prints ONE JSON line:
+  {"metric": "train_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": R}
+
+vs_baseline compares against the reference stack's published/estimated
+throughput; the reference publishes NO numbers (BASELINE.md), so the baseline
+anchor is the BASELINE.json north-star target of 2x A100 frames/sec/chip,
+using a measured-elsewhere estimate of the torch reference on A100
+(~6.5 frames/s/GPU at batch 3x8GPU-equivalent work, see BASELINE.md table:
+batch 3/GPU was the real run).  vs_baseline = value / (2 * 6.5).
+"""
+import json
+import time
+import sys
+
+
+A100_REFERENCE_FPS_ESTIMATE = 6.5      # torch reference, frames/s per A100
+TARGET_MULTIPLIER = 2.0
+
+
+def main():
+    import jax
+    from facevae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    from facevae_tpu.config import Config
+    from facevae_tpu.train import create_train_state, make_train_step
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    cfg = Config()
+    state = create_train_state(cfg, seed=0)
+    _, step = make_train_step(cfg, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    batch = tuple(jax.random.uniform(jax.random.fold_in(key, i),
+                                     (batch_size, 256, 256, 3))
+                  for i in range(4))
+
+    # warmup / compile
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["losses_g"])
+
+    t0 = time.time()
+    for i in range(steps):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["losses_g"])
+    dt = time.time() - t0
+
+    fps = batch_size * steps / dt
+    baseline = TARGET_MULTIPLIER * A100_REFERENCE_FPS_ESTIMATE
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,4 +168,7 @@ def tiny_config(image_size: int = 64, num_kp: int = 5, depth: int = 4,
         gen_n_res=2,
         compute_dtype=compute_dtype,
     )
-    return Config(model=model)
+    # 64px images support only 1 pyramid scale (VGG needs >=16px for its
+    # deepest tap; the reference's 3 scales assume 256px inputs).
+    loss = LossConfig(n_scales=1)
+    return Config(model=model, loss=loss)

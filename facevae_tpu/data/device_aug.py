@@ -1,0 +1,157 @@
+"""Fused on-device augmentation (north-star path, BASELINE.json).
+
+The reference's CPU pipeline (rotation via skimage, perspective via
+cv2.warpPerspective, PIL color jitter — augmentation.py) is its data-path
+bottleneck at 256².  Here the same family of transforms runs as ONE XLA
+program on the training device:
+
+  rotation + random-perspective collapse into a single 3x3 homography per
+  frame -> one grid_sample_2d (border padding = cv2.BORDER_REPLICATE), then
+  brightness/saturation/hue/contrast jitter as vector ops.
+
+Functional equivalence, not bit-parity: the fused warp interpolates once
+instead of twice (less blur — strictly better augmentation), and jitter ops
+run in a fixed order in float32 (the reference shuffles order and roundtrips
+through uint8).  The CPU path (data/augmentation.py) remains the parity path.
+
+All draws are per-frame from an explicit PRNG key, matching the reference's
+per-item draws.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from facevae_tpu.config import DataConfig
+from facevae_tpu.ops.grid_sample import grid_sample_2d
+
+
+def _solve_homography(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """DLT for 4 point pairs: returns H with dst ~ H @ src.  src/dst [4,2]."""
+    def rows(s, d):
+        x, y = s
+        u, v = d
+        return jnp.array([
+            [x, y, 1, 0, 0, 0, -u * x, -u * y],
+            [0, 0, 0, x, y, 1, -v * x, -v * y],
+        ]), jnp.array([u, v])
+    A = jnp.concatenate([rows(src[i], dst[i])[0] for i in range(4)])
+    b = jnp.concatenate([rows(src[i], dst[i])[1] for i in range(4)])
+    h = jnp.linalg.solve(A, b)
+    return jnp.concatenate([h, jnp.ones(1, h.dtype)]).reshape(3, 3)
+
+
+def _perspective_homography(key: jax.Array, size: int, pers_num: int,
+                            enlarge_num: int) -> jnp.ndarray:
+    """Random corner-perturbation homography (reference augmentation.py:338-349
+    geometry: one corner pair sheared by pers_size, all enlarged by
+    enlarge_size, signs random)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rel = size / 256.0     # reference magnitudes assume 256px inputs
+    pers = jax.random.uniform(k1, (), minval=20.0, maxval=float(max(21, pers_num))) * rel
+    enl = jax.random.uniform(k2, (), minval=20.0, maxval=float(max(21, enlarge_num))) * rel
+    pers = pers * jnp.where(jax.random.bernoulli(k3), 1.0, -1.0)
+    enl = enl * jnp.where(jax.random.bernoulli(k4), 1.0, -1.0)
+    s = float(size)
+    src = jnp.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]]) * s
+    src = src + jnp.array([[-1, -1], [-1, 1], [1, -1], [1, 1]], jnp.float32) * enl
+    dst = src.at[1, 0].add(pers).at[3, 0].add(-pers)
+    return _solve_homography(src, dst)
+
+
+def _rotation_homography(key: jax.Array, size: int, degrees: float) -> jnp.ndarray:
+    angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees) * jnp.pi / 180.0
+    c, si = jnp.cos(angle), jnp.sin(angle)
+    cx = cy = (size - 1) / 2.0
+    # rotate about the image center
+    t1 = jnp.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], jnp.float32)
+    r = jnp.array([[c, -si, 0], [si, c, 0], [0, 0, 1]], jnp.float32)
+    t2 = jnp.array([[1, 0, cx], [0, 1, cy], [0, 0, 1]], jnp.float32)
+    return t2 @ r @ t1
+
+
+def _warp(frame: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
+    """Apply homography H (dst<-src pixel coords) via one grid_sample."""
+    h, w, _ = frame.shape
+    Hinv = jnp.linalg.inv(H)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ones = jnp.ones_like(xs)
+    pts = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)
+    src = pts @ Hinv.T
+    src = src[:, :2] / src[:, 2:3]
+    gx = src[:, 0] / (w - 1) * 2.0 - 1.0
+    gy = src[:, 1] / (h - 1) * 2.0 - 1.0
+    grid = jnp.stack([gx, gy], axis=-1).reshape(1, h, w, 2)
+    return grid_sample_2d(frame[None], grid, align_corners=True,
+                          padding_mode="border")[0]
+
+
+def _color_jitter(key: jax.Array, frame: jnp.ndarray, strength: float) -> jnp.ndarray:
+    kb, ks, kh, kc = jax.random.split(key, 4)
+    b = jax.random.uniform(kb, (), minval=1 - strength, maxval=1 + strength)
+    s = jax.random.uniform(ks, (), minval=1 - strength, maxval=1 + strength)
+    hshift = jax.random.uniform(kh, (), minval=-strength, maxval=strength)
+    c = jax.random.uniform(kc, (), minval=1 - strength, maxval=1 + strength)
+
+    x = frame * b                                           # brightness
+    lum = x @ jnp.array([0.299, 0.587, 0.114], x.dtype)
+    x = lum[..., None] + s * (x - lum[..., None])           # saturation
+    # hue: rotate in HSV via RGB->HSV->RGB
+    hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + hshift) % 1.0)
+    x = _hsv_to_rgb(hsv)
+    mean_l = jnp.mean(x @ jnp.array([0.299, 0.587, 0.114], x.dtype))
+    x = mean_l + c * (x - mean_l)                           # contrast
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def augment_frame(key: jax.Array, frame: jnp.ndarray, cfg: DataConfig) -> jnp.ndarray:
+    """One frame [H,W,3] -> augmented frame (rotation+perspective+jitter)."""
+    k_rot, k_pers, k_jit, k_flip = jax.random.split(key, 4)
+    size = frame.shape[0]
+    H = (_perspective_homography(k_pers, size, cfg.pers_num, cfg.enlarge_num)
+         @ _rotation_homography(k_rot, size, cfg.rotation_degrees))
+    out = _warp(frame, H)
+    out = _color_jitter(k_jit, out, cfg.jitter)
+    if cfg.use_flip:
+        out = jnp.where(jax.random.bernoulli(k_flip), out[:, ::-1], out)
+    return out
+
+
+def augment_batch(key: jax.Array, frames: jnp.ndarray, cfg: DataConfig) -> jnp.ndarray:
+    """[N,H,W,3] -> [N,H,W,3], independent per-frame draws (vmapped)."""
+    keys = jax.random.split(key, frames.shape[0])
+    return jax.vmap(lambda k, f: augment_frame(k, f, cfg))(keys, frames)

@@ -32,6 +32,11 @@ class PerceptualLoss(nn.Module):
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        min_size = 16 * (2 ** self.n_scales)   # deepest VGG tap needs >=16px
+        if min(inp.shape[1:3]) < min_size:
+            raise ValueError(
+                f"PerceptualLoss with n_scales={self.n_scales} needs inputs "
+                f">={min_size}px, got {inp.shape[1:3]}; lower LossConfig.n_scales")
         vgg19 = VGGFeatures(VGG19_BLOCKS, name="vgg19")
         vggface = VGGFeatures(VGG16_BLOCKS, name="vggface")
 

@@ -142,7 +142,8 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             mean = xf.mean(reduce_axes)
             mean2 = (xf * xf).mean(reduce_axes)
-            if self.axis_name is not None:
+            # axis is only bound inside shard_map/pmap; init traces run outside
+            if self.axis_name is not None and not self.is_initializing():
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
             var = mean2 - mean * mean

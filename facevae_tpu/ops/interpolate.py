@@ -55,6 +55,19 @@ def interpolate_bilinear_2d(x: jnp.ndarray, out_hw, *, align_corners: bool = Fal
     return y.astype(dtype)
 
 
+def interpolate_nearest_2d(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Nearest-neighbor resize, torch F.interpolate(mode='nearest') parity:
+    src index = floor(dst * in/out).  Used for the Hopenet 256->224 input
+    (reference trainer.py:280 calls F.interpolate with the default mode)."""
+    N, H, W, C = x.shape
+    Ho, Wo = out_hw
+    if (Ho, Wo) == (H, W):
+        return x
+    idx_h = jnp.floor(jnp.arange(Ho) * (H / Ho)).astype(jnp.int32)
+    idx_w = jnp.floor(jnp.arange(Wo) * (W / Wo)).astype(jnp.int32)
+    return x[:, idx_h][:, :, idx_w]
+
+
 def resize_bilinear_half(x: jnp.ndarray) -> jnp.ndarray:
     """scale_factor=0.5 bilinear downsample, torch parity (= 2x2 average)."""
     N, H, W, C = x.shape

@@ -1,0 +1,132 @@
+"""Batched inference graphs (reference evaluate.py, FIXED — quirk q1: the
+reference unpacks 2 of MFE's 3 outputs and omits EFE entirely).
+
+Modes:
+  reconstruct    — animate source frame with driving frames' motion
+  frontalize     — re-pose every frame to zero yaw/pitch/roll
+  reenact        — cross-identity: source image + driving sequence
+  sample/interp  — draw/interpolate EFE expression latents (BASELINE configs[5])
+
+All functions are jitted once and reused across frames; use_efe=True runs the
+full trained pipeline (EFE refines the pose-only keypoints), use_efe=False
+reproduces the reference's pre-EFE face-vid2vid path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from facevae_tpu.config import Config
+from facevae_tpu.ops import transform_kp, transform_kp_with_new_pose
+from facevae_tpu.train.objective import VarBank
+from facevae_tpu.train.state import TrainState, build_all_modules
+
+
+class InferencePipeline:
+    def __init__(self, cfg: Config, state: TrainState, use_efe: bool = True):
+        self.cfg = cfg
+        self.models = build_all_modules(cfg)
+        self.state = state
+        self.use_efe = use_efe
+        self._vars = {}
+        for name in ("afe", "ckd", "hpe_ede", "efe", "mfe", "generator"):
+            v = {"params": state.g_params[name]}
+            if name in state.batch_stats:
+                v["batch_stats"] = state.batch_stats[name]
+            if name in state.spectral:
+                v["spectral"] = state.spectral[name]
+            self._vars[name] = v
+
+    def _apply(self, name, *args, **kwargs):
+        return self.models[name].apply(self._vars[name], *args, train=False, **kwargs)
+
+    @functools.cached_property
+    def encode_source(self):
+        """source image -> (fs, kp_c, kp_s, Rs)"""
+        def fn(s):
+            fs = self._apply("afe", s)
+            kp_c = self._apply("ckd", s)
+            yaw, pitch, roll, t, scale = self._apply("hpe_ede", s)
+            kp_s_old, Rs = transform_kp(kp_c, yaw, pitch, roll, t, scale)
+            if self.use_efe:
+                kp_s, *_ = self._apply("efe", s, None, kp_s_old)
+            else:
+                kp_s = kp_s_old
+            return fs, kp_c, kp_s, Rs
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def drive_frame(self):
+        """(fs, kp_c, kp_s, Rs, driving frame) -> generated image"""
+        def fn(fs, kp_c, kp_s, Rs, img):
+            yaw, pitch, roll, t, scale = self._apply("hpe_ede", img)
+            kp_d_old, Rd = transform_kp(kp_c, yaw, pitch, roll, t, scale)
+            if self.use_efe:
+                kp_d, *_ = self._apply("efe", img, None, kp_d_old)
+            else:
+                kp_d = kp_d_old
+            deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_d, Rs, Rd)
+            return self._apply("generator", fs, deformation, occlusion)
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def frontalize_frame(self):
+        """frame -> frontalized frame (zero pose, reference evaluate.py:46-66)."""
+        def fn(img):
+            fs = self._apply("afe", img)
+            kp_c = self._apply("ckd", img)
+            yaw, pitch, roll, t, scale = self._apply("hpe_ede", img)
+            kp_s_old, Rs = transform_kp(kp_c, yaw, pitch, roll, t, scale)
+            if self.use_efe:
+                kp_s, *_ = self._apply("efe", img, None, kp_s_old)
+                delta = kp_s - kp_s_old
+            else:
+                kp_s = kp_s_old
+                delta = jnp.zeros_like(kp_s)
+            zero = jnp.zeros_like(yaw)
+            kp_d, Rd = transform_kp_with_new_pose(kp_c * scale, yaw, pitch, roll, t,
+                                                  delta, zero, zero, zero)
+            deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_d, Rs, Rd)
+            return self._apply("generator", fs, deformation, occlusion)
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def sample_expression(self):
+        """(frame, key, temperature) -> image with resampled EFE latent.
+
+        Runs EFE in train_vae mode with injected noise: z = mu + exp(logstd)*eps.
+        """
+        def fn(img, key, temperature):
+            fs = self._apply("afe", img)
+            kp_c = self._apply("ckd", img)
+            yaw, pitch, roll, t, scale = self._apply("hpe_ede", img)
+            kp_old, Rs = transform_kp(kp_c, yaw, pitch, roll, t, scale)
+            kp_s, *_ = self._apply("efe", img, None, kp_old)
+            kp_d, *_ = self.models["efe"].apply(
+                self._vars["efe"], img, None, kp_old, train_vae=True, train=False,
+                rngs={"noise": key})
+            kp_d = kp_s + temperature * (kp_d - kp_s)
+            deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_d, Rs, Rs)
+            return self._apply("generator", fs, deformation, occlusion)
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def interpolate_expression(self):
+        """(source frame, target frame, alpha) -> image with kp lerped between
+        the two frames' expressions (latent interpolation graph)."""
+        def fn(s, d, alpha):
+            fs = self._apply("afe", s)
+            kp_c = self._apply("ckd", s)
+            yaw, pitch, roll, t, scale = self._apply("hpe_ede", jnp.concatenate([s, d]))
+            n = s.shape[0]
+            kp_s_old, Rs = transform_kp(kp_c, yaw[:n], pitch[:n], roll[:n], t[:n], scale[:n])
+            kp_d_old, Rd = transform_kp(kp_c, yaw[n:], pitch[n:], roll[n:], t[n:], scale[n:])
+            kp_s, *_ = self._apply("efe", s, None, kp_s_old)
+            kp_d, *_ = self._apply("efe", d, None, kp_d_old)
+            kp_mix = (1 - alpha) * kp_s + alpha * kp_d
+            deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_mix, Rs, Rd)
+            return self._apply("generator", fs, deformation, occlusion)
+        return jax.jit(fn)

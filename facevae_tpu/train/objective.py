@@ -1,0 +1,179 @@
+"""Objective composition — the model-side hot path (reference trainer.py:214-337).
+
+`generator_forward` mirrors GeneratorFull.forward (trainer.py:267-317): one
+AFE/CKD pass on the source, a TPS-warped driving frame for the equivariance
+pair, HPE on the 3N concatenated batch, EFE three times, the MFE warp, the
+generator decode, and two discriminator evaluations; returns the 10-entry
+loss dict {P,G,F,E,L,H,D,C,K,R} with reference weights.
+
+`discriminator_forward` mirrors DiscriminatorFull.forward (trainer.py:319-337).
+
+Mutable module state (BN running stats, spectral-norm u/v) is threaded
+sequentially through a VarBank so multiple applications of the same module in
+one step see each other's updates — exactly torch's in-place buffer
+semantics (e.g. EFE runs 3x per step, SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from facevae_tpu.config import Config
+from facevae_tpu.ops import (
+    transform_kp, random_transform_params, transform_frame, warp_coordinates,
+    apply_imagenet_normalization,
+)
+from facevae_tpu.ops.interpolate import interpolate_nearest_2d
+from facevae_tpu.losses import (
+    gan_loss_gen, gan_loss_dis, feature_matching_loss,
+    equivariance_loss, keypoint_prior_loss, headpose_loss, deformation_prior_loss,
+    kl_divergence_loss, recon_loss,
+)
+
+
+class VarBank:
+    """Threads params + mutable collections through sequential model calls."""
+
+    def __init__(self, params: Dict[str, Any], batch_stats: Dict[str, Any],
+                 spectral: Dict[str, Any]):
+        self.params = params
+        self.batch_stats = dict(batch_stats)
+        self.spectral = dict(spectral)
+
+    def apply(self, name: str, model, *args, rngs=None, **kwargs):
+        variables = {"params": self.params[name]}
+        mutable = []
+        if name in self.batch_stats:
+            variables["batch_stats"] = self.batch_stats[name]
+            mutable.append("batch_stats")
+        if name in self.spectral:
+            variables["spectral"] = self.spectral[name]
+            mutable.append("spectral")
+        if mutable:
+            out, updates = model.apply(variables, *args, mutable=mutable,
+                                       rngs=rngs, **kwargs)
+            if "batch_stats" in updates:
+                self.batch_stats[name] = updates["batch_stats"]
+            if "spectral" in updates:
+                self.spectral[name] = updates["spectral"]
+            return out
+        return model.apply(variables, *args, rngs=rngs, **kwargs)
+
+    def collections(self):
+        return self.batch_stats, self.spectral
+
+
+def _chunk3(x):
+    n = x.shape[0] // 3
+    return x[:n], x[n:2 * n], x[2 * n:]
+
+
+def generator_forward(models: Dict[str, Any], teachers: Dict[str, Any],
+                      bank: VarBank, cfg: Config,
+                      s, d, s_a, d_a, rng: jax.Array,
+                      train_vae: bool = False, train: bool = True
+                      ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Full generator-side forward.  Returns (loss dict, aux visuals dict)."""
+    w = cfg.loss
+    N = s.shape[0]
+    rng_tps, rng_noise = jax.random.split(rng)
+
+    fs = bank.apply("afe", models["afe"], s, train=train)
+    kp_c = bank.apply("ckd", models["ckd"], s, train=train)
+
+    tp = random_transform_params(rng_tps, N, sigma_affine=cfg.train.sigma_affine,
+                                 sigma_tps=cfg.train.sigma_tps,
+                                 points_tps=cfg.train.points_tps, dtype=d.dtype)
+    transformed_d = transform_frame(tp, d)
+    cated = jnp.concatenate([s, d, transformed_d], axis=0)
+
+    yaw, pitch, roll, t, scale = bank.apply("hpe_ede", models["hpe_ede"], cated, train=train)
+    t_s, t_d, t_tran = _chunk3(t)
+    scale_s, scale_d, scale_tran = _chunk3(scale)
+    yaw_s, yaw_d, yaw_tran = _chunk3(yaw)
+    pitch_s, pitch_d, pitch_tran = _chunk3(pitch)
+    roll_s, roll_d, roll_tran = _chunk3(roll)
+
+    # frozen pose teacher on nearest-resized 224² imagenet-normalized input
+    # (reference trainer.py:278-280; F.interpolate default mode is NEAREST)
+    hp_in = interpolate_nearest_2d(apply_imagenet_normalization(cated), (224, 224))
+    real_yaw, real_pitch, real_roll = models["hopenet"].apply(
+        teachers["hopenet"], jax.lax.stop_gradient(hp_in), train=False)
+
+    kp_s_old, Rs = transform_kp(kp_c, yaw_s, pitch_s, roll_s, t_s, scale_s)
+    kp_d_old, Rd = transform_kp(kp_c, yaw_d, pitch_d, roll_d, t_d, scale_d)
+    transformed_kp_old, _ = transform_kp(kp_c, yaw_tran, pitch_tran, roll_tran,
+                                         t_tran, scale_tran)
+
+    noise_rngs = {"noise": rng_noise}
+    kp_s, x_c_s, x_a_c_s, kl_s, l2_s = bank.apply(
+        "efe", models["efe"], s, s_a, kp_s_old, train_vae=False, train=train)
+    kp_d, x_c_d, x_a_c_d, kl_d, l2_d = bank.apply(
+        "efe", models["efe"], d, d_a, kp_d_old, train_vae=train_vae, train=train,
+        rngs=noise_rngs if train_vae else None)
+    transformed_kp, *_ = bank.apply(
+        "efe", models["efe"], transformed_d, None, transformed_kp_old,
+        train_vae=False, train=train)
+
+    reverse_kp = warp_coordinates(tp, transformed_kp[:, :, :2])
+    deformation, occlusion, mask = bank.apply(
+        "mfe", models["mfe"], fs, kp_s, kp_d, Rs, Rd, train=train)
+    generated_d = bank.apply("generator", models["generator"], fs, deformation,
+                             occlusion, train=train)
+    output_d, features_d = bank.apply("discriminator", models["discriminator"],
+                                      d, kp_d, train=train)
+    output_gd, features_gd = bank.apply("discriminator", models["discriminator"],
+                                        generated_d, kp_d, train=train)
+
+    losses = {
+        "P": w.perceptual * models["perceptual"].apply(
+            teachers["perceptual"], generated_d, d),
+        "G": w.gan * gan_loss_gen(output_gd),
+        "F": w.feature_matching * feature_matching_loss(features_gd, features_d),
+        "E": w.equivariance * equivariance_loss(kp_d, reverse_kp),
+        "L": w.keypoint_prior * keypoint_prior_loss(kp_d, w.kp_prior_dt, w.kp_prior_zt),
+        "H": w.headpose * headpose_loss(yaw, pitch, roll, real_yaw, real_pitch, real_roll),
+        # quirk q11: the D prior penalizes EFE's deviation from pose-only kp
+        "D": w.deformation_prior * deformation_prior_loss(kp_d_old - kp_d),
+    }
+    if x_c_d is not None:
+        losses["C"] = w.contrastive * bank.apply(
+            "contrastive", models["contrastive"], x_c_d, x_a_c_d, train=train)
+    else:
+        losses["C"] = jnp.zeros((), jnp.float32)
+    if train_vae and kl_d[0] is not None:
+        losses["K"] = w.kl * kl_divergence_loss(kl_d[0], kl_d[1])
+    else:
+        losses["K"] = jnp.zeros((), jnp.float32)
+    if l2_d[0] is not None:
+        losses["R"] = w.recon * recon_loss(d, generated_d)
+    else:
+        losses["R"] = jnp.zeros((), jnp.float32)
+
+    aux = {
+        "generated_d": generated_d,
+        "transformed_d": transformed_d,
+        "kp_s": kp_s,
+        "kp_d": kp_d,
+        "transformed_kp": transformed_kp,
+        "occlusion": occlusion,
+        "mask": mask,
+    }
+    return losses, aux
+
+
+def discriminator_forward(models: Dict[str, Any], bank: VarBank, cfg: Config,
+                          d, generated_d, kp_d, train: bool = True
+                          ) -> Dict[str, jnp.ndarray]:
+    """Discriminator-side hinge losses (reference trainer.py:330-337)."""
+    output_d, _ = bank.apply("discriminator", models["discriminator"], d,
+                             jax.lax.stop_gradient(kp_d), train=train)
+    output_gd, _ = bank.apply("discriminator", models["discriminator"],
+                              jax.lax.stop_gradient(generated_d),
+                              jax.lax.stop_gradient(kp_d), train=train)
+    return {
+        "G1": cfg.loss.gan * gan_loss_dis(output_gd, t_real=False),
+        "G2": cfg.loss.gan * gan_loss_dis(output_d, t_real=True),
+    }

@@ -1,0 +1,115 @@
+"""The jitted train step: G update then D update in one XLA program.
+
+Replaces the reference hot loop body (logger.py:150-172): zero grads ->
+g_full forward/backward -> 6 Adam steps -> d_full forward/backward -> 1 Adam
+step.  Here both phases live in ONE jit so XLA fuses and pipelines them; the
+whole step runs on device with donated state (no host round-trips — the
+reference syncs losses to CPU every iteration, logger.py:173).
+
+Data parallelism: the step is wrapped in shard_map over a 1-axis mesh.
+Per-shard gradients are lax.pmean'd over ICI (DDP parity), BN statistics are
+pmean'd inside the modules (SyncBN parity), and the per-device RNG is folded
+with the axis index so TPS draws and VAE noise differ per shard (the
+reference seeds each rank differently, distributed.py:11).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from facevae_tpu.config import Config
+from facevae_tpu.parallel import DATA_AXIS
+from facevae_tpu.train.objective import VarBank, generator_forward, discriminator_forward
+from facevae_tpu.train.state import TrainState, build_all_modules, make_optimizers
+
+
+def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
+                    models: Optional[Dict[str, Any]] = None,
+                    train_vae: Optional[bool] = None, donate: bool = True):
+    """Returns (models, step_fn) with step_fn(state, batch, rng) -> (state, metrics).
+
+    batch = (s, d, s_a, d_a), each [N,H,W,3] channel-last float32 — with a
+    mesh, N is the GLOBAL batch and inputs are sharded over DATA_AXIS.
+    """
+    axis = DATA_AXIS if mesh is not None else None
+    models = models or build_all_modules(cfg, axis_name=axis)
+    g_tx, d_tx = make_optimizers(cfg)
+    tv = cfg.train.train_vae if train_vae is None else train_vae
+
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
+        s, d, s_a, d_a = batch
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        # ---- generator phase -------------------------------------------------
+        def g_loss_fn(g_params):
+            params = {**g_params, **state.d_params, **state.c_params}
+            bank = VarBank(params, state.batch_stats, state.spectral)
+            losses, aux = generator_forward(models, state.teachers, bank, cfg,
+                                            s, d, s_a, d_a, rng, train_vae=tv)
+            total = sum(losses.values())
+            stats, spectral = bank.collections()
+            return total, (losses, aux, stats, spectral)
+
+        (g_total, (losses_g, aux, stats, spectral)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        if axis is not None:
+            g_grads = jax.lax.pmean(g_grads, axis)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
+
+        # ---- discriminator phase --------------------------------------------
+        generated_d = jax.lax.stop_gradient(aux["generated_d"])
+        kp_d = jax.lax.stop_gradient(aux["kp_d"])
+
+        def d_loss_fn(d_params):
+            params = {**g_params, **d_params, **state.c_params}
+            bank = VarBank(params, stats, spectral)
+            losses = discriminator_forward(models, bank, cfg, d, generated_d, kp_d)
+            st2, sp2 = bank.collections()
+            return sum(losses.values()), (losses, st2, sp2)
+
+        (d_total, (losses_d, stats, spectral)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        if axis is not None:
+            d_grads = jax.lax.pmean(d_grads, axis)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
+
+        new_state = state.replace(
+            g_params=g_params, d_params=d_params,
+            batch_stats=stats, spectral=spectral,
+            g_opt=g_opt, d_opt=d_opt, step=state.step + 1)
+
+        metrics_g = losses_g
+        metrics_d = losses_d
+        if axis is not None:
+            metrics_g = jax.lax.pmean(metrics_g, axis)
+            metrics_d = jax.lax.pmean(metrics_d, axis)
+        return new_state, {"losses_g": metrics_g, "losses_d": metrics_d, "aux": aux}
+
+    if mesh is None:
+        return models, jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    state_spec = P()        # params/opt replicated
+    batch_spec = (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+    out_metric_spec = {"losses_g": P(), "losses_d": P(),
+                       "aux": jax.tree.map(lambda _: P(DATA_AXIS), _AUX_TEMPLATE)}
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(state_spec, batch_spec, P()),
+        out_specs=(state_spec, out_metric_spec),
+        check_vma=False,
+    )
+    return models, jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+_AUX_TEMPLATE = {
+    "generated_d": 0, "transformed_d": 0, "kp_s": 0, "kp_d": 0,
+    "transformed_kp": 0, "occlusion": 0, "mask": 0,
+}

@@ -1,0 +1,91 @@
+"""Data pipeline tests: synthetic dataset round-trip, augmentation parity
+properties, prefetch loader sharding, on-device augmentation."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facevae_tpu.data import FramesDataset, DatasetRepeater, PairedDataset, PrefetchLoader
+from facevae_tpu.data.augmentation import AllAugmentationTransform, ColorJitter, RandomRotation
+from facevae_tpu.data.device_aug import augment_batch
+from facevae_tpu.config import DataConfig
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fakedata"))
+    subprocess.run([sys.executable, "tools/make_synthetic_data.py", out,
+                    "--num_ids", "4", "--clips_per_id", "2", "--frames", "6",
+                    "--size", "64"], check=True)
+    return out
+
+
+def test_frames_dataset(data_dir):
+    ds = FramesDataset(data_dir, frame_shape=(64, 64, 3), id_sampling=True, is_train=True)
+    assert len(ds) == 4                      # identities, not clips
+    s, d, s_a, d_a = ds[0]
+    for arr in (s, d, s_a, d_a):
+        assert arr.shape == (64, 64, 3) and arr.dtype == np.float32
+        assert 0.0 <= arr.min() and arr.max() <= 1.0
+
+    test_ds = FramesDataset(data_dir, frame_shape=(64, 64, 3), is_train=False)
+    video = test_ds[0]
+    assert video.ndim == 4 and video.shape[-1] == 3
+
+    rep = DatasetRepeater(ds, num_repeats=10)
+    assert len(rep) == 40
+    paired = PairedDataset(test_ds, number_of_pairs=1)
+    item = paired[0]
+    assert "driving_video" in item and "source_video" in item
+
+
+def test_prefetch_loader_sharding(data_dir):
+    ds = DatasetRepeater(FramesDataset(data_dir, frame_shape=(64, 64, 3)), 10)
+    loaders = [PrefetchLoader(ds, batch_size=4, num_workers=2, shard=(i, 2), seed=0)
+               for i in range(2)]
+    assert len(loaders[0]) == len(ds) // 2 // 4
+    b0 = next(iter(loaders[0]))
+    assert len(b0) == 4 and b0[0].shape == (4, 64, 64, 3)
+    # different shards see different indices (same epoch perm, disjoint slices)
+    i0 = loaders[0]._indices()
+    i1 = loaders[1]._indices()
+    assert set(i0).isdisjoint(set(i1))
+
+
+def test_cpu_augmentation_properties(rng):
+    frame = rng.rand(64, 64, 3).astype(np.float32)
+    aug = AllAugmentationTransform(
+        rotation_param={"degrees": 30},
+        perspective_param={"pers_num": 30, "enlarge_num": 40},
+        jitter_param={"brightness": 0.1, "contrast": 0.1, "saturation": 0.1, "hue": 0.1})
+    out = aug([frame])[0]
+    assert out.shape == (64, 64, 3)
+    assert np.isfinite(out).all()
+    assert not np.allclose(out, frame)     # actually transformed
+
+    # jitter-only at 0 strength on uint8-exact input is identity up to quantization
+    jit0 = ColorJitter(brightness=0, contrast=0, saturation=0, hue=0)
+    exact = np.round(frame * 255) / 255
+    np.testing.assert_allclose(jit0([exact.astype(np.float32)])[0], exact, atol=1 / 254)
+
+    # rotation by ~0 degrees is near-identity
+    rot = RandomRotation((0.0, 1e-6))
+    np.testing.assert_allclose(rot([frame])[0], frame, atol=1e-3)
+
+
+def test_device_augmentation(rng):
+    frames = jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32)
+    cfg = DataConfig()
+    out = jax.jit(lambda k, f: augment_batch(k, f, cfg))(jax.random.PRNGKey(0), frames)
+    assert out.shape == frames.shape
+    assert bool(jnp.isfinite(out).all())
+    assert bool(((out >= 0) & (out <= 1)).all())
+    # different per-frame draws
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+    # deterministic under the same key
+    out2 = jax.jit(lambda k, f: augment_batch(k, f, cfg))(jax.random.PRNGKey(0), frames)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Training CLI — reference-compatible flags (reference train.py:24-54).
+
+python train.py --root_dir <vox-png> --batch_size 8 --num_epochs 150 ...
+
+Differences from the reference launcher: no mp.spawn / CUDA_VISIBLE_DEVICES /
+MASTER_ADDR plumbing — one controller process drives all local devices
+through a 1-axis mesh, and multi-host runs call jax.distributed.initialize
+(env-configured).  --gpu_ids is accepted for CLI parity and interpreted as
+"number of devices to use".
+"""
+import argparse
+import os
+
+
+def str2bool(s):
+    return s.lower().startswith("t")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="face-vid2vid")
+    parser.add_argument("--batch_size", default=8, type=int, help="Batch size per device")
+    parser.add_argument("--benchmark", type=str2bool, default=True,
+                        help="(parity flag; XLA autotunes regardless)")
+    parser.add_argument("--gpu_ids", default=None, type=str,
+                        help="parity flag: comma list; its length = number of devices")
+    parser.add_argument("--lr", default=0.00005, type=float, help="Learning rate")
+    parser.add_argument("--num_epochs", default=150, type=int)
+    parser.add_argument("--num_workers", default=8, type=int)
+    parser.add_argument("--ckp_dir", type=str, default="ckp")
+    parser.add_argument("--vis_dir", type=str, default="vis")
+    parser.add_argument("--ckp", type=int, default=0, help="Checkpoint epoch to resume")
+    parser.add_argument("--log_file", type=str, default="log.txt")
+    parser.add_argument("--ext", type=str, default="", help="suffix appended to dirs/log")
+    parser.add_argument("--root_dir", type=str, required=True, help="dataset path")
+    # framework extensions
+    parser.add_argument("--image_size", type=int, default=256)
+    parser.add_argument("--num_repeats", type=int, default=100)
+    parser.add_argument("--train_vae", type=str2bool, default=False)
+    parser.add_argument("--tiny", type=str2bool, default=False,
+                        help="tiny 64px config (BASELINE configs[0])")
+    parser.add_argument("--bf16", type=str2bool, default=False)
+    parser.add_argument("--cpu_aug", type=str2bool, default=False,
+                        help="use the CPU-parity augmentation path")
+    parser.add_argument("--seed", type=int, default=1)
+    args = parser.parse_args(argv)
+    if args.ext:
+        args.ckp_dir = args.ckp_dir + args.ext
+        args.vis_dir = args.vis_dir + args.ext
+        root, ext = os.path.splitext(args.log_file)
+        args.log_file = root + args.ext + (ext or ".txt")
+    return args
+
+
+def build_config(args):
+    import dataclasses
+    from facevae_tpu.config import Config, ModelConfig, TrainConfig, DataConfig, tiny_config
+
+    if args.tiny:
+        cfg = tiny_config(image_size=args.image_size if args.image_size != 256 else 64)
+    else:
+        cfg = Config(model=ModelConfig(
+            image_size=args.image_size,
+            compute_dtype="bfloat16" if args.bf16 else "float32"))
+    train = TrainConfig(
+        batch_size=args.batch_size, lr=args.lr, num_epochs=args.num_epochs,
+        num_repeats=args.num_repeats, train_vae=args.train_vae,
+        ckp_dir=args.ckp_dir, vis_dir=args.vis_dir, log_file=args.log_file,
+        seed=args.seed)
+    data = dataclasses.replace(cfg.data, root_dir=args.root_dir,
+                               num_workers=args.num_workers,
+                               on_device_aug=not args.cpu_aug,
+                               frame_shape=(args.image_size, args.image_size, 3))
+    return dataclasses.replace(cfg, train=train, data=data)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+
+    import jax
+    from facevae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    from facevae_tpu.parallel import make_mesh, init_distributed, is_master, DATA_AXIS
+    from facevae_tpu.data import FramesDataset, DatasetRepeater, PrefetchLoader
+    from facevae_tpu.train import create_train_state, load_checkpoint
+    from facevae_tpu.train.loop import train_loop
+
+    init_distributed()
+    n_devices = len(jax.devices())
+    if args.gpu_ids:
+        n_devices = min(n_devices, len(str(args.gpu_ids).strip("[]").split(",")))
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    axis = DATA_AXIS if mesh is not None else None
+
+    aug_params = None if args.cpu_aug else {}
+    dataset = DatasetRepeater(
+        FramesDataset(cfg.data.root_dir, frame_shape=cfg.data.frame_shape,
+                      augmentation_params=aug_params),
+        num_repeats=cfg.train.num_repeats)
+    global_batch = cfg.train.batch_size * n_devices
+    loader = PrefetchLoader(dataset, batch_size=global_batch,
+                            num_workers=cfg.data.num_workers,
+                            shard=(jax.process_index(), jax.process_count()),
+                            seed=cfg.train.seed)
+
+    state = create_train_state(cfg, seed=cfg.train.seed, axis_name=axis)
+    start_epoch = 0
+    if args.ckp > 0:
+        state = load_checkpoint(cfg.train.ckp_dir, args.ckp, state)
+        start_epoch = int(state.epoch) + 1
+        if is_master():
+            print(f"resumed from epoch {args.ckp}, continuing at {start_epoch}")
+
+    train_loop(cfg, state, loader, mesh=mesh, start_epoch=start_epoch)
+
+
+if __name__ == "__main__":
+    main()
