@@ -61,6 +61,9 @@ class ModelConfig:
 
     # dtype policy: compute dtype for conv-heavy paths; params and BN stats stay fp32.
     compute_dtype: str = "float32"   # "bfloat16" for the bf16 config
+    # rematerialize the big nets' forwards during backward (trades ~30% FLOPs
+    # for activation memory — required to fit 256² training in 16GB HBM)
+    remat: bool = True
 
     @property
     def kp_spatial(self) -> Tuple[int, int, int]:

@@ -21,7 +21,9 @@ from facevae_tpu.nn import Dense, BatchNorm
 
 
 def _cosine(a, b, eps=1e-8):
-    """torch nn.CosineSimilarity(dim=1) parity."""
+    """torch nn.CosineSimilarity(dim=1) parity (fp32)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     num = jnp.sum(a * b, axis=1)
     den = jnp.maximum(jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(b, axis=1), eps)
     return num / den

@@ -12,7 +12,7 @@ def gan_loss_dis(dis_output: jnp.ndarray, t_real: bool) -> jnp.ndarray:
 
     real: -mean(min(x-1, 0));  fake: -mean(min(-x-1, 0)).
     """
-    x = dis_output
+    x = dis_output.astype(jnp.float32)
     if t_real:
         return -jnp.mean(jnp.minimum(x - 1.0, 0.0))
     return -jnp.mean(jnp.minimum(-x - 1.0, 0.0))
@@ -20,7 +20,7 @@ def gan_loss_dis(dis_output: jnp.ndarray, t_real: bool) -> jnp.ndarray:
 
 def gan_loss_gen(dis_output: jnp.ndarray) -> jnp.ndarray:
     """Non-saturating generator loss: -mean(D(G)) (losses.py:178)."""
-    return -jnp.mean(dis_output)
+    return -jnp.mean(dis_output.astype(jnp.float32))
 
 
 def feature_matching_loss(fake_features: Sequence[jnp.ndarray],
@@ -36,6 +36,7 @@ def feature_matching_loss(fake_features: Sequence[jnp.ndarray],
     loss = jnp.asarray(0.0, jnp.float32)
     for f, r in zip(fake_features, real_features):
         n = f.shape[0]
-        per = jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
+        per = jnp.mean(jnp.abs(f.astype(jnp.float32)
+                               - jax.lax.stop_gradient(r).astype(jnp.float32)))
         loss = loss + (n / num_d) * per
     return loss

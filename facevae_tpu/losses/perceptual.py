@@ -23,7 +23,8 @@ LAYER_WEIGHTS = {"relu_1_1": 0.03125, "relu_2_1": 0.0625, "relu_3_1": 0.125,
 
 
 def _l1(a, b):
-    return jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+    return jnp.mean(jnp.abs(a.astype(jnp.float32)
+                           - jax.lax.stop_gradient(b).astype(jnp.float32)))
 
 
 class PerceptualLoss(nn.Module):
@@ -40,7 +41,8 @@ class PerceptualLoss(nn.Module):
         vgg19 = VGGFeatures(VGG19_BLOCKS, name="vgg19")
         vggface = VGGFeatures(VGG16_BLOCKS, name="vggface")
 
-        loss = jnp.mean(jnp.abs(inp - target))   # pixel L1 (target NOT detached here,
+        loss = jnp.mean(jnp.abs(inp.astype(jnp.float32)
+                                - target.astype(jnp.float32)))   # pixel L1 (target NOT detached here,
                                                  # matching losses.py:135)
         f_in = vggface(apply_vggface_normalization(inp))
         f_tg = vggface(apply_vggface_normalization(target))

@@ -24,8 +24,13 @@ def build_models(cfg: ModelConfig, axis_name: Optional[str] = None) -> Dict[str,
     if cfg.efe_variant not in ("conv3", "conv4", "conv5"):
         raise ValueError(f"unsupported EFE variant {cfg.efe_variant!r} "
                          "(conv3/conv4/conv5; see models/VARIANTS.md)")
+    # rematerialization happens at the call boundary (train/objective.py
+    # VarBank.apply(remat=True)) — jax.checkpoint over the whole apply with
+    # static flags closed over; ModelConfig.remat gates it.
+    _EFE, _CKD, _HPE, _MFE, _GEN, _DISC = (EFEConv, CKD, HPE_EDE, MFE,
+                                           Generator, Discriminator)
     return {
-        "efe": EFEConv(variant=cfg.efe_variant, down_seq=tuple(cfg.efe_down_seq),
+        "efe": _EFE(variant=cfg.efe_variant, down_seq=tuple(cfg.efe_down_seq),
                        up_seq=tuple(cfg.efe_up_seq), D=cfg.depth, K=cfg.num_kp,
                        n_res=cfg.efe_n_res, scale_factor=cfg.efe_scale_factor,
                        use_vae=cfg.efe_use_vae, use_weight_norm=cfg.use_weight_norm,
@@ -33,19 +38,19 @@ def build_models(cfg: ModelConfig, axis_name: Optional[str] = None) -> Dict[str,
         "afe": AFE(down_seq=tuple(cfg.afe_down_seq), n_res=cfg.afe_n_res,
                    C=cfg.app_channels, D=cfg.depth,
                    use_weight_norm=cfg.use_weight_norm, axis_name=axis_name),
-        "ckd": CKD(down_seq=tuple(cfg.ckd_down_seq), up_seq=tuple(cfg.ckd_up_seq),
+        "ckd": _CKD(down_seq=tuple(cfg.ckd_down_seq), up_seq=tuple(cfg.ckd_up_seq),
                    D=cfg.depth, K=cfg.num_kp, scale_factor=cfg.ckd_scale_factor,
                    use_weight_norm=cfg.use_weight_norm, axis_name=axis_name),
-        "hpe_ede": HPE_EDE(n_filters=tuple(cfg.hpe_filters), n_blocks=tuple(cfg.hpe_blocks),
+        "hpe_ede": _HPE(n_filters=tuple(cfg.hpe_filters), n_blocks=tuple(cfg.hpe_blocks),
                            n_bins=cfg.n_bins, K=cfg.num_kp,
                            use_weight_norm=cfg.use_weight_norm, axis_name=axis_name),
-        "mfe": MFE(down_seq=tuple(cfg.mfe_down_seq), up_seq=tuple(cfg.mfe_up_seq),
+        "mfe": _MFE(down_seq=tuple(cfg.mfe_down_seq), up_seq=tuple(cfg.mfe_up_seq),
                    K=cfg.num_kp, D=cfg.depth, C1=cfg.app_channels, C2=cfg.mfe_compress,
                    use_weight_norm=cfg.use_weight_norm, axis_name=axis_name),
-        "generator": Generator(up_seq=tuple(cfg.gen_up_seq), n_res=cfg.gen_n_res,
+        "generator": _GEN(up_seq=tuple(cfg.gen_up_seq), n_res=cfg.gen_n_res,
                                D=cfg.depth, C=cfg.app_channels,
                                use_weight_norm=cfg.gen_use_weight_norm, axis_name=axis_name),
-        "discriminator": Discriminator(down_seq=tuple(cfg.disc_down_seq), K=cfg.num_kp,
+        "discriminator": _DISC(down_seq=tuple(cfg.disc_down_seq), K=cfg.num_kp,
                                        use_weight_norm=cfg.disc_use_weight_norm,
                                        axis_name=axis_name),
     }

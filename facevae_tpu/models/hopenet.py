@@ -68,11 +68,11 @@ class Hopenet(nn.Module):
                                 name=f"layer{li + 1}_{bi}")(x, train)
         # reference avgpool is AvgPool2d(7) on 7x7 input -> global mean
         x = x.mean(axis=(1, 2))
-        yaw = Dense(self.num_bins, name="fc_yaw")(x)
-        pitch = Dense(self.num_bins, name="fc_pitch")(x)
-        roll = Dense(self.num_bins, name="fc_roll")(x)
+        yaw = Dense(self.num_bins, name="fc_yaw")(x).astype(jnp.float32)
+        pitch = Dense(self.num_bins, name="fc_pitch")(x).astype(jnp.float32)
+        roll = Dense(self.num_bins, name="fc_roll")(x).astype(jnp.float32)
 
-        idx = jnp.arange(self.num_bins, dtype=x.dtype)
+        idx = jnp.arange(self.num_bins, dtype=jnp.float32)
         def to_radians(logits):
             expect = (nn.softmax(logits, axis=1) * idx).sum(axis=1)
             return (expect - self.num_bins // 2) * 3.0 * math.pi / 180.0

@@ -38,13 +38,14 @@ class HPE_EDE(nn.Module):
                 x = ResBottleneck(self.n_filters[i + 1], self.n_filters[i + 1], 1,
                                   self.use_weight_norm, axis_name=ax)(x, train)
         x = x.mean(axis=(1, 2))                                  # [N,F]
-        yaw = Dense(self.n_bins, name="fc_yaw")(x)
-        pitch = Dense(self.n_bins, name="fc_pitch")(x)
-        roll = Dense(self.n_bins, name="fc_roll")(x)
-        t = Dense(3, name="fc_t")(x)
-        scale = Dense(1, name="fc_scale")(x)
+        # heads in fp32: pose angles / translations feed warp geometry
+        yaw = Dense(self.n_bins, name="fc_yaw")(x).astype(jnp.float32)
+        pitch = Dense(self.n_bins, name="fc_pitch")(x).astype(jnp.float32)
+        roll = Dense(self.n_bins, name="fc_roll")(x).astype(jnp.float32)
+        t = Dense(3, name="fc_t")(x).astype(jnp.float32)
+        scale = Dense(1, name="fc_scale")(x).astype(jnp.float32)
 
-        idx = jnp.arange(self.n_bins, dtype=x.dtype)
+        idx = jnp.arange(self.n_bins, dtype=jnp.float32)
         def to_radians(logits):
             expect = (nn.softmax(logits, axis=1) * idx).sum(axis=1)
             return (expect - self.n_bins // 2) * 3.0 * math.pi / 180.0

@@ -47,7 +47,8 @@ class MFE(nn.Module):
         deformed = create_deformed_source_image(fs_compressed, sparse_motion)  # [N,K+1,D,H,W,C2]
 
         # k-major channel packing: [heat_k, deformed_k...] per keypoint
-        per_k = jnp.concatenate([heatmap[..., None], deformed], axis=-1)     # [N,K+1,D,H,W,1+C2]
+        per_k = jnp.concatenate([heatmap[..., None].astype(deformed.dtype),
+                                 deformed], axis=-1)             # [N,K+1,D,H,W,1+C2]
         inp = per_k.transpose(0, 2, 3, 4, 1, 5).reshape(N, D, H, W, K1 * (1 + self.C2))
 
         x = inp
@@ -60,8 +61,10 @@ class MFE(nn.Module):
         x = jnp.concatenate([inp, x], axis=-1)                   # [N,D,H,W,80+32]
 
         mask = Conv(K1, 7, 1, 3, dim=3, name="mask_conv")(x, train)
-        mask = nn.softmax(mask, axis=-1)                         # [N,D,H,W,K+1]
-        deformation = jnp.einsum("ndhwk,nkdhwc->ndhwc", mask, sparse_motion)
+        # softmax + blended coordinates in fp32 (warp precision)
+        mask = nn.softmax(mask.astype(jnp.float32), axis=-1)     # [N,D,H,W,K+1]
+        deformation = jnp.einsum("ndhwk,nkdhwc->ndhwc", mask,
+                                 sparse_motion.astype(jnp.float32))
 
         # torch view(N, C*D, H, W): channel = c*D + d -> transpose C before D
         C = x.shape[-1]

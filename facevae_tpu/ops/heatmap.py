@@ -36,16 +36,20 @@ def heatmap2kp(heatmap: jnp.ndarray) -> jnp.ndarray:
 
 
 def out2heatmap_cl(out: jnp.ndarray, temperature: float = 0.1) -> jnp.ndarray:
-    """Channel-last variant: out [N,D,H,W,K] -> softmax over (D,H,W) per (n,k)."""
+    """Channel-last variant: out [N,D,H,W,K] -> softmax over (D,H,W) per (n,k).
+
+    Computed in fp32 regardless of input dtype: heatmap mass and soft-argmax
+    coordinates are precision-critical (bf16 coordinates are half-pixel off)."""
     shape = out.shape
-    flat = out.reshape(shape[0], -1, shape[-1])
+    flat = out.reshape(shape[0], -1, shape[-1]).astype(jnp.float32)
     heat = jax.nn.softmax(flat / temperature, axis=1)
     return heat.reshape(shape)
 
 
 def heatmap2kp_cl(heatmap: jnp.ndarray) -> jnp.ndarray:
-    """Channel-last soft-argmax: [N,D,H,W,K] -> [N,K,3]."""
-    grid = make_coordinate_grid_3d(heatmap.shape[1:4], dtype=heatmap.dtype)
+    """Channel-last soft-argmax: [N,D,H,W,K] -> [N,K,3] (fp32)."""
+    heatmap = heatmap.astype(jnp.float32)
+    grid = make_coordinate_grid_3d(heatmap.shape[1:4], dtype=jnp.float32)
     return jnp.einsum("ndhwk,dhwc->nkc", heatmap, grid)
 
 

@@ -27,6 +27,8 @@ def create_heatmap_representations(fs: jnp.ndarray, kp_s: jnp.ndarray,
     Reference utils.py:139-149.
     """
     spatial = fs.shape[1:4]
+    kp_s = kp_s.astype(jnp.float32)
+    kp_d = kp_d.astype(jnp.float32)
     heat = kp2gaussian_3d(kp_d, spatial) - kp2gaussian_3d(kp_s, spatial)
     zeros = jnp.zeros(heat.shape[:1] + (1,) + heat.shape[2:], heat.dtype)
     return jnp.concatenate([zeros, heat], axis=1)
@@ -43,7 +45,12 @@ def create_sparse_motions(fs: jnp.ndarray, kp_s: jnp.ndarray, kp_d: jnp.ndarray,
     N = fs.shape[0]
     D, H, W = fs.shape[1:4]
     K = kp_s.shape[1]
-    grid = make_coordinate_grid_3d((D, H, W), dtype=fs.dtype)          # [D,H,W,3]
+    # warp coordinates are precision-critical: always fp32
+    kp_s = kp_s.astype(jnp.float32)
+    kp_d = kp_d.astype(jnp.float32)
+    Rs = Rs.astype(jnp.float32)
+    Rd = Rd.astype(jnp.float32)
+    grid = make_coordinate_grid_3d((D, H, W), dtype=jnp.float32)       # [D,H,W,3]
     identity = jnp.broadcast_to(grid[None, None], (N, 1, D, H, W, 3))
     coords = grid[None, None] - kp_d[:, :, None, None, None, :]        # [N,K,D,H,W,3]
     jac = jnp.matmul(Rs, jnp.linalg.inv(Rd))                           # [N,3,3]

@@ -42,7 +42,7 @@ class VarBank:
         self.batch_stats = dict(batch_stats)
         self.spectral = dict(spectral)
 
-    def apply(self, name: str, model, *args, rngs=None, **kwargs):
+    def apply(self, name: str, model, *args, rngs=None, remat: bool = False, **kwargs):
         variables = {"params": self.params[name]}
         mutable = []
         if name in self.batch_stats:
@@ -51,15 +51,24 @@ class VarBank:
         if name in self.spectral:
             variables["spectral"] = self.spectral[name]
             mutable.append("spectral")
+
+        def run(variables, *arr):
+            # static flags (train/train_vae) and rngs are closed over
+            return model.apply(variables, *arr, mutable=mutable or False,
+                               rngs=rngs, **kwargs)
+
+        if remat:
+            # recompute this model's forward during backward: trades ~1/3 of
+            # its FLOPs for its whole activation set (256² HBM fit)
+            run = jax.checkpoint(run)
         if mutable:
-            out, updates = model.apply(variables, *args, mutable=mutable,
-                                       rngs=rngs, **kwargs)
+            out, updates = run(variables, *args)
             if "batch_stats" in updates:
                 self.batch_stats[name] = updates["batch_stats"]
             if "spectral" in updates:
                 self.spectral[name] = updates["spectral"]
             return out
-        return model.apply(variables, *args, rngs=rngs, **kwargs)
+        return run(variables, *args)
 
     def collections(self):
         return self.batch_stats, self.spectral
@@ -75,21 +84,34 @@ def generator_forward(models: Dict[str, Any], teachers: Dict[str, Any],
                       s, d, s_a, d_a, rng: jax.Array,
                       train_vae: bool = False, train: bool = True
                       ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
-    """Full generator-side forward.  Returns (loss dict, aux visuals dict)."""
+    """Full generator-side forward.  Returns (loss dict, aux visuals dict).
+
+    Mixed precision (ModelConfig.compute_dtype="bfloat16"): conv stacks run in
+    bf16 (params stay fp32 — Conv casts per-call); all geometry (keypoints,
+    rotation matrices, warp coordinates, softmax heatmaps) and every loss
+    reduction stay fp32.
+    """
     w = cfg.loss
     N = s.shape[0]
+    cdt = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     rng_tps, rng_noise = jax.random.split(rng)
 
-    fs = bank.apply("afe", models["afe"], s, train=train)
-    kp_c = bank.apply("ckd", models["ckd"], s, train=train)
+    s_c, d_c = s.astype(cdt), d.astype(cdt)
+    s_a = s_a.astype(cdt) if s_a is not None else None
+    d_a = d_a.astype(cdt) if d_a is not None else None
+
+    rm = cfg.model.remat
+    fs = bank.apply("afe", models["afe"], s_c, train=train)
+    kp_c = bank.apply("ckd", models["ckd"], s_c, train=train, remat=rm)
 
     tp = random_transform_params(rng_tps, N, sigma_affine=cfg.train.sigma_affine,
                                  sigma_tps=cfg.train.sigma_tps,
-                                 points_tps=cfg.train.points_tps, dtype=d.dtype)
-    transformed_d = transform_frame(tp, d)
-    cated = jnp.concatenate([s, d, transformed_d], axis=0)
+                                 points_tps=cfg.train.points_tps, dtype=jnp.float32)
+    transformed_d = transform_frame(tp, d.astype(jnp.float32))
+    cated = jnp.concatenate([s_c, d_c, transformed_d.astype(cdt)], axis=0)
 
-    yaw, pitch, roll, t, scale = bank.apply("hpe_ede", models["hpe_ede"], cated, train=train)
+    yaw, pitch, roll, t, scale = bank.apply("hpe_ede", models["hpe_ede"], cated,
+                                             train=train, remat=rm)
     t_s, t_d, t_tran = _chunk3(t)
     scale_s, scale_d, scale_tran = _chunk3(scale)
     yaw_s, yaw_d, yaw_tran = _chunk3(yaw)
@@ -109,27 +131,36 @@ def generator_forward(models: Dict[str, Any], teachers: Dict[str, Any],
 
     noise_rngs = {"noise": rng_noise}
     kp_s, x_c_s, x_a_c_s, kl_s, l2_s = bank.apply(
-        "efe", models["efe"], s, s_a, kp_s_old, train_vae=False, train=train)
+        "efe", models["efe"], s_c, s_a, kp_s_old, train_vae=False, train=train,
+        remat=rm)
     kp_d, x_c_d, x_a_c_d, kl_d, l2_d = bank.apply(
-        "efe", models["efe"], d, d_a, kp_d_old, train_vae=train_vae, train=train,
-        rngs=noise_rngs if train_vae else None)
+        "efe", models["efe"], d_c, d_a, kp_d_old, train_vae=train_vae, train=train,
+        rngs=noise_rngs if train_vae else None, remat=rm)
     transformed_kp, *_ = bank.apply(
-        "efe", models["efe"], transformed_d, None, transformed_kp_old,
-        train_vae=False, train=train)
+        "efe", models["efe"], transformed_d.astype(cdt), None, transformed_kp_old,
+        train_vae=False, train=train, remat=rm)
 
     reverse_kp = warp_coordinates(tp, transformed_kp[:, :, :2])
     deformation, occlusion, mask = bank.apply(
-        "mfe", models["mfe"], fs, kp_s, kp_d, Rs, Rd, train=train)
+        "mfe", models["mfe"], fs, kp_s, kp_d, Rs, Rd, train=train, remat=rm)
     generated_d = bank.apply("generator", models["generator"], fs, deformation,
-                             occlusion, train=train)
+                             occlusion, train=train, remat=rm).astype(jnp.float32)
     output_d, features_d = bank.apply("discriminator", models["discriminator"],
-                                      d, kp_d, train=train)
+                                      d_c, kp_d, train=train, remat=rm)
     output_gd, features_gd = bank.apply("discriminator", models["discriminator"],
-                                        generated_d, kp_d, train=train)
+                                        generated_d.astype(cdt), kp_d, train=train,
+                                        remat=rm)
 
+    if cfg.model.remat:
+        # VGG towers hold the largest single activation set; recompute them
+        # in the backward pass
+        p_apply = jax.checkpoint(
+            lambda v, a, b: models["perceptual"].apply(v, a, b))
+    else:
+        p_apply = models["perceptual"].apply
     losses = {
-        "P": w.perceptual * models["perceptual"].apply(
-            teachers["perceptual"], generated_d, d),
+        "P": w.perceptual * p_apply(
+            teachers["perceptual"], generated_d.astype(cdt), d_c),
         "G": w.gan * gan_loss_gen(output_gd),
         "F": w.feature_matching * feature_matching_loss(features_gd, features_d),
         "E": w.equivariance * equivariance_loss(kp_d, reverse_kp),
@@ -158,7 +189,7 @@ def generator_forward(models: Dict[str, Any], teachers: Dict[str, Any],
         "kp_s": kp_s,
         "kp_d": kp_d,
         "transformed_kp": transformed_kp,
-        "occlusion": occlusion,
+        "occlusion": occlusion.astype(jnp.float32),
         "mask": mask,
     }
     return losses, aux
@@ -168,11 +199,14 @@ def discriminator_forward(models: Dict[str, Any], bank: VarBank, cfg: Config,
                           d, generated_d, kp_d, train: bool = True
                           ) -> Dict[str, jnp.ndarray]:
     """Discriminator-side hinge losses (reference trainer.py:330-337)."""
-    output_d, _ = bank.apply("discriminator", models["discriminator"], d,
-                             jax.lax.stop_gradient(kp_d), train=train)
+    cdt = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    rm = cfg.model.remat
+    output_d, _ = bank.apply("discriminator", models["discriminator"],
+                             d.astype(cdt), jax.lax.stop_gradient(kp_d), train=train,
+                             remat=rm)
     output_gd, _ = bank.apply("discriminator", models["discriminator"],
-                              jax.lax.stop_gradient(generated_d),
-                              jax.lax.stop_gradient(kp_d), train=train)
+                              jax.lax.stop_gradient(generated_d).astype(cdt),
+                              jax.lax.stop_gradient(kp_d), train=train, remat=rm)
     return {
         "G1": cfg.loss.gan * gan_loss_dis(output_gd, t_real=False),
         "G2": cfg.loss.gan * gan_loss_dis(output_d, t_real=True),

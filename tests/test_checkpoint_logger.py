@@ -1,0 +1,72 @@
+"""Checkpoint round-trip, text-log format (add.txt parity incl. quirk q4),
+and visualizer output."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facevae_tpu.config import tiny_config
+from facevae_tpu.train import create_train_state, save_checkpoint, load_checkpoint, checkpoint_path
+from facevae_tpu.train.logger import ScalarLog, Visualizer, save_visualization
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    state = create_train_state(cfg, seed=0)
+    state = state.replace(step=jnp.asarray(7, jnp.int32),
+                          epoch=jnp.asarray(3, jnp.int32))
+    path = save_checkpoint(str(tmp_path), state, 3)
+    assert path.endswith("00000003-checkpoint.msgpack")
+
+    template = create_train_state(cfg, seed=1)       # different init
+    restored = load_checkpoint(str(tmp_path), 3, template)
+    assert int(restored.step) == 7 and int(restored.epoch) == 3
+    for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.g_opt), jax.tree.leaves(restored.g_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scalar_log_format_and_quirk_q4(tmp_path):
+    log_path = str(tmp_path / "log.txt")
+    log = ScalarLog(log_path)
+    # two iters; K (column -2) is zero on one of them
+    log.log_iter({"P": 1.0, "G": 2.0, "K": 0.0, "R": 0.5},
+                 {"G1": 0.1, "G2": 0.2})
+    log.log_iter({"P": 3.0, "G": 4.0, "K": 6.0, "R": 0.5},
+                 {"G1": 0.3, "G2": 0.4})
+    log.log_epoch(0)
+    # K never fires -> nan epoch
+    log.log_iter({"P": 1.0, "G": 2.0, "K": 0.0, "R": 0.5}, {"G1": 0.1, "G2": 0.2})
+    log.log_epoch(1)
+    log.close()
+
+    lines = open(log_path).read().splitlines()
+    assert lines[0].startswith("G00000000) ")
+    assert lines[1].startswith("D00000000) ")
+    # q4: K averaged over nonzero entries only -> 6.0, not 3.0
+    assert "K - 6.00000" in lines[0]
+    assert "P - 2.00000" in lines[0]
+    assert "G1 - 0.20000" in lines[1]
+    assert "K - nan" in lines[2]
+
+
+def test_visualizer_grid(rng, tmp_path):
+    N, H, K, D, K1 = 2, 16, 3, 4, 4
+    vis = Visualizer(kp_size=2)
+    img = vis.visualize(
+        s=rng.rand(N, H, H, 3).astype(np.float32),
+        d=rng.rand(N, H, H, 3).astype(np.float32),
+        generated_d=rng.rand(N, H, H, 3).astype(np.float32),
+        transformed_d=rng.rand(N, H, H, 3).astype(np.float32),
+        kp_s=rng.rand(N, K, 3).astype(np.float32) * 2 - 1,
+        kp_d=rng.rand(N, K, 3).astype(np.float32) * 2 - 1,
+        transformed_kp=rng.rand(N, K, 3).astype(np.float32) * 2 - 1,
+        occlusion=rng.rand(N, H // 4, H // 4, 1).astype(np.float32),
+        mask=rng.rand(N, D, H // 4, H // 4, K1).astype(np.float32))
+    # 5 image columns + K1 mask columns, N rows
+    assert img.shape == (N * H, (5 + K1) * H, 3)
+    assert img.dtype == np.uint8
+    p = save_visualization(str(tmp_path), 0, img)
+    assert os.path.exists(p)
