@@ -33,8 +33,10 @@ def main():
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
 
-    cfg = Config()
+    from facevae_tpu.config import ModelConfig
+    cfg = Config(model=ModelConfig(compute_dtype=dtype))
     state = create_train_state(cfg, seed=0)
     _, step = make_train_step(cfg, donate=True)
 
@@ -60,6 +62,7 @@ def main():
     baseline = TARGET_MULTIPLIER * A100_REFERENCE_FPS_ESTIMATE
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip",
+        "config": f"256x256 full model, batch {batch_size}, {dtype}",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),

@@ -119,6 +119,11 @@ class TrainConfig:
     sigma_affine: float = 0.05       # Transform / equivariance TPS
     sigma_tps: float = 0.005
     points_tps: int = 5
+    # aux subsystems (SURVEY.md §5): the reference's only runtime tripwire is
+    # torch.autograd.set_detect_anomaly (distributed.py:26)
+    debug_nans: bool = False         # jax_debug_nans: trap the first NaN
+    profile_dir: str = ""            # jax.profiler trace of steps 10..14
+    tensorboard: bool = False        # scalars via tensorboardX (logger.py:177-181)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,6 +31,14 @@ from facevae_tpu.train.step import make_train_step
 
 def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                start_epoch: int = 0, writer=None) -> TrainState:
+    if cfg.train.debug_nans:
+        # reference parity: torch.autograd.set_detect_anomaly(True)
+        # (distributed.py:26) — trap the first non-finite value at its op
+        jax.config.update("jax_debug_nans", True)
+    if cfg.train.tensorboard and writer is None and is_master():
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(comment="facevae_tpu")
+
     models, step = make_train_step(cfg, mesh=mesh)
     key = jax.random.PRNGKey(cfg.train.seed)
 
@@ -68,8 +76,14 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                     s_a = jax.device_put(s_a, sharding)
                     d_a = jax.device_put(d_a, sharding)
 
+            if cfg.train.profile_dir and global_step == 10:
+                jax.profiler.start_trace(cfg.train.profile_dir)
             state, metrics = step(state, (s, d, s_a, d_a),
                                   jax.random.fold_in(key, global_step))
+            if cfg.train.profile_dir and global_step == 14:
+                jax.block_until_ready(metrics["losses_g"])
+                jax.profiler.stop_trace()
+                master_only_print(f"profiler trace written to {cfg.train.profile_dir}")
             global_step += 1
             n_frames += s.shape[0]
 

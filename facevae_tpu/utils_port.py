@@ -1,0 +1,177 @@
+"""Generic torch<->flax parameter porting by structural order.
+
+Both the reference's torch modules and our flax modules build their layers in
+the same construction order (the architectures are mirrors), so a typed
+order-preserving zip of the two parameter streams gives an exact mapping
+without hand-written per-layer tables:
+
+  torch conv weight (O,I,KH,KW)/(O,I,KD,KH,KW) <-> flax kernel HWIO/DHWIO
+  torch linear weight (O,I)                    <-> flax kernel (I,O)
+  torch BN weight/bias/running_mean/running_var<-> flax scale/bias + batch_stats
+  torch IN weight/bias                         <-> flax scale/bias
+
+Used by tools/convert_reference_checkpoint.py and the golden parity tests.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+
+def _natural_key(s: str):
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", s)]
+
+
+def flatten_ordered(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()) -> List[Tuple[Tuple[str, ...], np.ndarray]]:
+    """DFS flatten in INSERTION order: flax variable dicts are built in module
+    creation order during init, which mirrors the torch modules' definition
+    order for every active model (verified per-model in
+    tools/convert_reference_checkpoint.py).  Do not sort — name sorting breaks
+    (e.g. 'ConvBlock_0' < 'Conv_0' alphabetically but not in creation order)."""
+    out = []
+    for key in tree.keys():
+        val = tree[key]
+        if isinstance(val, dict):
+            out.extend(flatten_ordered(val, prefix + (key,)))
+        else:
+            out.append((prefix + (key,), np.asarray(val)))
+    return out
+
+
+def group_flax_modules(params: Dict[str, Any], batch_stats: Dict[str, Any] | None = None):
+    """Group flat leaves by owning module (path minus leaf name), ordered.
+
+    Returns list of (module_path, {leaf_name: array}).  batch_stats leaves are
+    merged into their module's dict as 'mean'/'var'.
+    """
+    modules: Dict[Tuple[str, ...], Dict[str, np.ndarray]] = {}
+    order: List[Tuple[str, ...]] = []
+    for path, leaf in flatten_ordered(params):
+        mod, name = path[:-1], path[-1]
+        if mod not in modules:
+            modules[mod] = {}
+            order.append(mod)
+        modules[mod][name] = leaf
+    if batch_stats:
+        for path, leaf in flatten_ordered(batch_stats):
+            mod, name = path[:-1], path[-1]
+            if mod in modules:
+                modules[mod]["bn_" + name] = leaf
+            else:
+                modules.setdefault(mod, {})[("bn_" + name)] = leaf
+                if mod not in order:
+                    order.append(mod)
+    return [(mod, modules[mod]) for mod in order]
+
+
+def torch_param_stream(state_dict, skip_modules: Tuple[str, ...] = ()) -> List[Tuple[str, Dict[str, np.ndarray]]]:
+    """Group a torch state_dict (insertion-ordered) by owning module.
+
+    skip_modules: module-name prefixes to drop (e.g. Hopenet's vestigial
+    fc_finetune, reference trainer.py:36)."""
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    order: List[str] = []
+    for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        if any(key.startswith(sm) for sm in skip_modules):
+            continue
+        mod, leaf = key.rsplit(".", 1) if "." in key else ("", key)
+        if mod not in groups:
+            groups[mod] = {}
+            order.append(mod)
+        groups[mod][leaf] = np.asarray(val)
+    return [(m, groups[m]) for m in order]
+
+
+def _to_flax_kernel(w: np.ndarray) -> np.ndarray:
+    if w.ndim == 4:                      # conv2d OIHW -> HWIO
+        return np.transpose(w, (2, 3, 1, 0))
+    if w.ndim == 5:                      # conv3d OIDHW -> DHWIO
+        return np.transpose(w, (2, 3, 4, 1, 0))
+    if w.ndim == 2:                      # linear (O,I) -> (I,O)
+        return np.transpose(w, (1, 0))
+    return w
+
+
+def port_torch_to_flax(state_dict, params: Dict[str, Any],
+                       batch_stats: Dict[str, Any] | None = None,
+                       strict: bool = True,
+                       skip_modules: Tuple[str, ...] = ()):
+    """Return (new_params, new_batch_stats) with torch weights ported in,
+    zipping typed module streams in construction order."""
+    import copy
+    new_params = copy.deepcopy(_to_mutable(params))
+    new_stats = copy.deepcopy(_to_mutable(batch_stats)) if batch_stats else None
+
+    flax_mods = group_flax_modules(new_params, new_stats)
+    torch_mods = torch_param_stream(state_dict, skip_modules)
+
+    # typed streams: each flax module consumes the next compatible torch module
+    ti = 0
+    for mod_path, leaves in flax_mods:
+        if ti >= len(torch_mods):
+            if strict:
+                raise ValueError(f"ran out of torch modules at {mod_path}")
+            break
+        tname, tleaves = torch_mods[ti]
+        ti += 1
+        _port_module(mod_path, leaves, tname, tleaves, new_params, new_stats, strict)
+    if strict and ti != len(torch_mods):
+        raise ValueError(f"{len(torch_mods) - ti} torch modules left unported: "
+                         f"{[m for m, _ in torch_mods[ti:ti+4]]}...")
+    return new_params, new_stats
+
+
+def _to_mutable(tree):
+    if tree is None:
+        return None
+    if isinstance(tree, dict):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def _set_leaf(tree, path, name, value):
+    node = tree
+    for p in path:
+        node = node[p]
+    expect = node[name]
+    if tuple(np.shape(expect)) != tuple(value.shape):
+        raise ValueError(f"shape mismatch at {'/'.join(path)}/{name}: "
+                         f"{np.shape(expect)} vs {value.shape}")
+    node[name] = value.astype(np.asarray(expect).dtype)
+
+
+def _port_module(mod_path, leaves, tname, tleaves, params, stats, strict):
+    has_kernel = "kernel" in leaves
+    has_scale = "scale" in leaves
+    has_weight_param = "weight" in leaves            # LinearELR
+    if has_kernel:
+        # spectral-normed torch convs store weight_orig (+u/v buffers)
+        w = tleaves.get("weight", tleaves.get("weight_orig"))
+        if w is None:
+            raise ValueError(f"flax {mod_path} (conv/dense) vs torch {tname} "
+                             f"{list(tleaves)}")
+        _set_leaf(params, mod_path, "kernel", _to_flax_kernel(w))
+        if "bias" in leaves:
+            if "bias" not in tleaves and strict:
+                raise ValueError(f"{mod_path}: flax bias but torch {tname} has none")
+            if "bias" in tleaves:
+                _set_leaf(params, mod_path, "bias", tleaves["bias"])
+    elif has_weight_param:
+        _set_leaf(params, mod_path, "weight", tleaves["weight"])
+        if "bias" in leaves and "bias" in tleaves:
+            _set_leaf(params, mod_path, "bias", tleaves["bias"])
+    elif has_scale or "bn_mean" in leaves:
+        # norm layer
+        if "weight" in tleaves and has_scale:
+            _set_leaf(params, mod_path, "scale", tleaves["weight"])
+        if "bias" in tleaves and "bias" in leaves:
+            _set_leaf(params, mod_path, "bias", tleaves["bias"])
+        if stats is not None and "running_mean" in tleaves and "bn_mean" in leaves:
+            _set_leaf(stats, mod_path, "mean", tleaves["running_mean"])
+            _set_leaf(stats, mod_path, "var", tleaves["running_var"])
+    elif strict:
+        raise ValueError(f"unhandled flax module {mod_path}: {list(leaves)}")

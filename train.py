@@ -43,6 +43,11 @@ def parse_args(argv=None):
     parser.add_argument("--cpu_aug", type=str2bool, default=False,
                         help="use the CPU-parity augmentation path")
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--debug_nans", type=str2bool, default=False,
+                        help="trap the first NaN (reference detect_anomaly parity)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write a jax.profiler trace of steps 10-14")
+    parser.add_argument("--tensorboard", type=str2bool, default=False)
     args = parser.parse_args(argv)
     if args.ext:
         args.ckp_dir = args.ckp_dir + args.ext
@@ -66,7 +71,8 @@ def build_config(args):
         batch_size=args.batch_size, lr=args.lr, num_epochs=args.num_epochs,
         num_repeats=args.num_repeats, train_vae=args.train_vae,
         ckp_dir=args.ckp_dir, vis_dir=args.vis_dir, log_file=args.log_file,
-        seed=args.seed)
+        seed=args.seed, debug_nans=args.debug_nans,
+        profile_dir=args.profile_dir, tensorboard=args.tensorboard)
     data = dataclasses.replace(cfg.data, root_dir=args.root_dir,
                                num_workers=args.num_workers,
                                on_device_aug=not args.cpu_aug,
