@@ -89,3 +89,36 @@ def contrastive_loss(f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:
     f1 = f1.reshape(f1.shape[0], -1)
     f2 = f2.reshape(f2.shape[0], -1)
     return 1.0 - _cosine(f1, f2).mean()
+
+
+class ContrastiveHeadConv2(nn.Module):
+    """Dormant conv variant (reference ContrastiveLoss_conv2, losses.py:329-382,
+    mode="non-direction"): strided conv+BN(affine=False) projector on [N,h,w,C]
+    feature maps, 2-layer MLP predictor, symmetric negative-cosine.
+
+    (ContrastiveLoss_conv, losses.py:281-326, pulls a taming-transformers LPIPS
+    and is catalogued but not built — no LPIPS weights in this environment.)
+    """
+
+    in_dim: int = 256
+    out_dim: int = 128
+    dim_linear: int = 512
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, f1: jnp.ndarray, f2: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        from facevae_tpu.nn import Conv
+        ax = self.axis_name
+        proj_conv = Conv(self.out_dim, 3, 2, 1, dim=2, use_bias=True, name="proj_conv")
+        proj_bn = BatchNorm(self.out_dim, axis_name=ax, use_scale_bias=False,
+                            name="proj_bn")
+        predict = _Predictor(self.dim_linear, self.dim_linear, ax, name="predictor")
+
+        def project(f):
+            z = proj_bn(proj_conv(f, train), train)
+            return z.reshape(z.shape[0], -1)
+
+        z1, z2 = project(f1), project(f2)
+        p1, p2 = predict(z1, train), predict(z2, train)
+        sg = jax.lax.stop_gradient
+        return 1.0 - (_cosine(p1, sg(z2)).mean() + _cosine(p2, sg(z1)).mean()) * 0.5
