@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from facevae_tpu.nn import Conv, ConvBlock, ResBlock2D, UpBlock2D
-from facevae_tpu.ops.grid_sample import grid_sample_3d
+from facevae_tpu.ops.fast_warp import grid_sample_3d_fast
 
 
 class Generator(nn.Module):
@@ -29,7 +29,7 @@ class Generator(nn.Module):
     def __call__(self, fs, deformation, occlusion, train: bool = True):
         ax = self.axis_name
         N, D, H, W, C = fs.shape
-        fs = grid_sample_3d(fs, deformation, align_corners=True, padding_mode="zeros")
+        fs = grid_sample_3d_fast(fs, deformation)
         fs = fs.transpose(0, 2, 3, 4, 1).reshape(N, H, W, C * D)
         fs = ConvBlock("CNA", C * D, self.up_seq[0], 3, 1, 1, self.use_weight_norm,
                        dim=2, nonlinearity_type="leakyrelu", axis_name=ax,

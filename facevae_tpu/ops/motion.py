@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from facevae_tpu.ops.geometry import make_coordinate_grid_3d
 from facevae_tpu.ops.heatmap import kp2gaussian_3d
-from facevae_tpu.ops.grid_sample import grid_sample_3d
+from facevae_tpu.ops.fast_warp import grid_sample_3d_fast
 
 
 def create_heatmap_representations(fs: jnp.ndarray, kp_s: jnp.ndarray,
@@ -69,7 +69,8 @@ def create_deformed_source_image(fs: jnp.ndarray, sparse_motions: jnp.ndarray) -
     """
     N, D, H, W, C = fs.shape
     K1 = sparse_motions.shape[1]
-    src = jnp.broadcast_to(fs[:, None], (N, K1, D, H, W, C)).reshape(N * K1, D, H, W, C)
     grids = sparse_motions.reshape(N * K1, D, H, W, 3)
-    warped = grid_sample_3d(src, grids, align_corners=True, padding_mode="zeros")
+    # wide-row-gather warp (exact trilinear, zeros padding, align_corners=True);
+    # the K+1 grids share the UN-repeated source volume (grids_per_source)
+    warped = grid_sample_3d_fast(fs, grids, K1)
     return warped.reshape(N, K1, D, H, W, C)

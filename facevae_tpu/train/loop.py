@@ -29,6 +29,9 @@ from facevae_tpu.train.state import TrainState
 from facevae_tpu.train.step import make_train_step
 
 
+_PROFILE_START = 10
+
+
 def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                start_epoch: int = 0, writer=None) -> TrainState:
     if cfg.train.debug_nans:
@@ -56,6 +59,7 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
 
     global_step = int(state.step)
     last_batch = last_metrics = None
+    profiling = False
     for epoch in range(start_epoch, cfg.train.num_epochs):
         master_only_print("Epoch", epoch)
         loader.set_epoch(epoch)
@@ -76,13 +80,15 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                     s_a = jax.device_put(s_a, sharding)
                     d_a = jax.device_put(d_a, sharding)
 
-            if cfg.train.profile_dir and global_step == 10:
+            if cfg.train.profile_dir and global_step == _PROFILE_START:
                 jax.profiler.start_trace(cfg.train.profile_dir)
+                profiling = True
             state, metrics = step(state, (s, d, s_a, d_a),
                                   jax.random.fold_in(key, global_step))
-            if cfg.train.profile_dir and global_step == 14:
+            if profiling and global_step >= _PROFILE_START + 4:
                 jax.block_until_ready(metrics["losses_g"])
                 jax.profiler.stop_trace()
+                profiling = False
                 master_only_print(f"profiler trace written to {cfg.train.profile_dir}")
             global_step += 1
             n_frames += s.shape[0]
@@ -96,6 +102,10 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                 index = epoch * len(loader) + idx
                 writer.add_scalars("loss_all", {**losses_g, **losses_d}, index)
 
+        if profiling:      # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            profiling = False
+            master_only_print(f"profiler trace written to {cfg.train.profile_dir}")
         dt = time.time() - t_epoch
         master_only_print(f"epoch {epoch}: {n_frames / max(dt, 1e-9):.2f} frames/s")
 
