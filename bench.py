@@ -33,7 +33,7 @@ def main():
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
 
     from facevae_tpu.config import ModelConfig
     cfg = Config(model=ModelConfig(compute_dtype=dtype))
@@ -45,16 +45,17 @@ def main():
                                      (batch_size, 256, 256, 3))
                   for i in range(4))
 
-    # warmup / compile
+    # warmup / compile.  NOTE: block_until_ready is unreliable on this
+    # runtime (buffer futures resolve before device execution completes);
+    # only a device->host READ is a hard sync.  Verified against
+    # jax.profiler device_duration totals.
     state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["losses_g"])
+    jax.device_get(jax.tree.leaves(state.g_params)[0])
 
-    # steady-state: block every step so in-flight buffers stay bounded and
-    # the measurement reflects real sustained step time
     t0 = time.time()
     for i in range(steps):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-        jax.block_until_ready(metrics["losses_g"])
+    jax.device_get(jax.tree.leaves(state.g_params)[0])   # hard sync
     dt = time.time() - t0
     assert all(float(v) == float(v) for v in metrics["losses_g"].values()), "NaN loss"
 

@@ -59,8 +59,11 @@ class VarBank:
 
         if remat:
             # recompute this model's forward during backward: trades ~1/3 of
-            # its FLOPs for its whole activation set (256² HBM fit)
-            run = jax.checkpoint(run)
+            # its FLOPs for its whole activation set (256² HBM fit).  Warp
+            # outputs are tagged 'warp_out' and SAVED — recomputing the
+            # gather-heavy warps costs far more than their small outputs.
+            run = jax.checkpoint(
+                run, policy=jax.checkpoint_policies.save_only_these_names("warp_out"))
         if mutable:
             out, updates = run(variables, *args)
             if "batch_stats" in updates:

@@ -49,3 +49,27 @@ def test_mfe_like_shapes_and_bf16(rng):
     assert fb.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(fb).astype(np.float32), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_matmul_path_gradients(rng):
+    """bf16 MXU path: values AND gradients close to the exact fp32 path."""
+    x = jnp.asarray(rng.randn(2, 4, 8, 8, 4), jnp.float32)
+    grid = jnp.asarray(rng.rand(4, 4, 8, 8, 3) * 2 - 1, jnp.float32)  # gps=2
+    g = jnp.asarray(rng.randn(4, 4, 8, 8, 4), jnp.float32)
+
+    def loss(fn, xx):
+        return jnp.sum(fn(xx, grid, 2) * g)
+
+    ref = grid_sample_3d_fast(x, grid, 2)
+    fast = grid_sample_3d_fast(x.astype(jnp.bfloat16), grid, 2)
+    np.testing.assert_allclose(np.asarray(fast).astype(np.float32),
+                               np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+    dx_r, dg_r = jax.grad(lambda xx, gg: jnp.sum(grid_sample_3d_fast(xx, gg, 2) * g),
+                          argnums=(0, 1))(x, grid)
+    dx_f, dg_f = jax.grad(lambda xx, gg: jnp.sum(grid_sample_3d_fast(xx, gg, 2) * g),
+                          argnums=(0, 1))(x.astype(jnp.bfloat16), grid)
+    np.testing.assert_allclose(np.asarray(dx_f).astype(np.float32), np.asarray(dx_r),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(dg_f), np.asarray(dg_r),
+                               rtol=5e-2, atol=0.15)
