@@ -31,7 +31,7 @@ def main():
     from facevae_tpu.config import Config
     from facevae_tpu.train import create_train_state, make_train_step
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
 
