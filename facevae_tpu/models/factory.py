@@ -21,20 +21,27 @@ def build_models(cfg: ModelConfig, axis_name: Optional[str] = None) -> Dict[str,
 
     Mirrors reference logger.py:52-53 g_models/d_models composition.
     """
-    if cfg.efe_variant not in ("conv3", "conv4", "conv5"):
+    if cfg.efe_variant not in ("conv3", "conv4", "conv5", "conv6"):
         raise ValueError(f"unsupported EFE variant {cfg.efe_variant!r} "
-                         "(conv3/conv4/conv5; see models/VARIANTS.md)")
+                         "(conv3/conv4/conv5/conv6; see models/VARIANTS.md)")
     # rematerialization happens at the call boundary (train/objective.py
     # VarBank.apply(remat=True)) — jax.checkpoint over the whole apply with
     # static flags closed over; ModelConfig.remat gates it.
     _EFE, _CKD, _HPE, _MFE, _GEN, _DISC = (EFEConv, CKD, HPE_EDE, MFE,
                                            Generator, Discriminator)
+    if cfg.efe_variant == "conv6":
+        from facevae_tpu.models.efe_conv6 import EFEConv6
+        efe = EFEConv6(D=cfg.depth, K=cfg.num_kp,
+                       scale_factor=cfg.efe_scale_factor, use_vae=cfg.efe_use_vae,
+                       use_weight_norm=cfg.use_weight_norm, axis_name=axis_name)
+    else:
+        efe = _EFE(variant=cfg.efe_variant, down_seq=tuple(cfg.efe_down_seq),
+                   up_seq=tuple(cfg.efe_up_seq), D=cfg.depth, K=cfg.num_kp,
+                   n_res=cfg.efe_n_res, scale_factor=cfg.efe_scale_factor,
+                   use_vae=cfg.efe_use_vae, use_weight_norm=cfg.use_weight_norm,
+                   axis_name=axis_name)
     return {
-        "efe": _EFE(variant=cfg.efe_variant, down_seq=tuple(cfg.efe_down_seq),
-                       up_seq=tuple(cfg.efe_up_seq), D=cfg.depth, K=cfg.num_kp,
-                       n_res=cfg.efe_n_res, scale_factor=cfg.efe_scale_factor,
-                       use_vae=cfg.efe_use_vae, use_weight_norm=cfg.use_weight_norm,
-                       axis_name=axis_name),
+        "efe": efe,
         "afe": AFE(down_seq=tuple(cfg.afe_down_seq), n_res=cfg.afe_n_res,
                    C=cfg.app_channels, D=cfg.depth,
                    use_weight_norm=cfg.use_weight_norm, axis_name=axis_name),

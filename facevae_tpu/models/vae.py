@@ -66,6 +66,34 @@ class FlattenVAE(nn.Module):
         return (None, None), mu.reshape(shape)
 
 
+class FlattenVAE6(nn.Module):
+    """ELR encoder/decoder VAE (reference flatten_vae6, models.py:802-833):
+    always returns (mu, logstd, x_hat); samples when train_vae."""
+
+    down_seq: Sequence[int] = (16 * 4 * 4, 256)
+    up_seq: Sequence[int] = (256, 16 * 4 * 4)
+    vae_seq: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, x, train_vae: bool = True):
+        shape = x.shape
+        h = x.reshape(shape[0], -1)
+        for i in range(len(self.down_seq) - 1):
+            h = LinearELR(self.down_seq[i], self.down_seq[i + 1],
+                          norm="demod", act="leakyrelu", name=f"enc_{i}")(h)
+        mu = LinearELR(self.vae_seq[0], self.vae_seq[1], name="mu_fc")(h) * 0.1
+        logstd = LinearELR(self.vae_seq[0], self.vae_seq[1], name="logstd_fc")(h) * 0.01
+        if train_vae:
+            eps = jax.random.normal(self.make_rng("noise"), logstd.shape, logstd.dtype)
+            z = mu + jnp.exp(logstd) * eps
+        else:
+            z = mu
+        for i in range(len(self.up_seq) - 1):
+            z = LinearELR(self.up_seq[i], self.up_seq[i + 1],
+                          norm="demod", act="leakyrelu", name=f"dec_{i}")(z)
+        return (mu, logstd), z.reshape(shape)
+
+
 class LocalVAE(nn.Module):
     """Conv encoder/decoder passthrough (reference local_vae: VAE core is
     commented out upstream; forward is encoder -> fc -> fc -> decoder)."""

@@ -18,4 +18,5 @@ from facevae_tpu.nn.blocks import (
     ResBlock2D, ResBlock3D,
     ResBottleneck,
 )
-from facevae_tpu.nn.elr import LinearELR
+from facevae_tpu.nn.elr import (LinearELR, Conv2dELR, ConvTranspose2dELR,
+                                ConvTranspose3dELR, UpSampleBlock3d)

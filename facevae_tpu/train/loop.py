@@ -60,7 +60,10 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
     global_step = int(state.step)
     last_batch = last_metrics = None
     profiling = False
+    interrupted = False
     for epoch in range(start_epoch, cfg.train.num_epochs):
+        if interrupted:
+            break
         master_only_print("Epoch", epoch)
         loader.set_epoch(epoch)
         t_epoch = time.time()
@@ -83,8 +86,15 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
             if cfg.train.profile_dir and global_step == _PROFILE_START:
                 jax.profiler.start_trace(cfg.train.profile_dir)
                 profiling = True
-            state, metrics = step(state, (s, d, s_a, d_a),
-                                  jax.random.fold_in(key, global_step))
+            try:
+                state, metrics = step(state, (s, d, s_a, d_a),
+                                      jax.random.fold_in(key, global_step))
+            except KeyboardInterrupt:
+                # reference parity (quirk q5, logger.py:67-68): a checkpoint
+                # is also written when training is interrupted
+                save_checkpoint(cfg.train.ckp_dir, state, int(state.epoch))
+                interrupted = True
+                break
             if profiling and global_step >= _PROFILE_START + 4:
                 jax.block_until_ready(metrics["losses_g"])
                 jax.profiler.stop_trace()

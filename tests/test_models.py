@@ -173,3 +173,18 @@ def test_grad_flows_through_generator_stack(tiny, rng):
     g = jax.grad(loss_fn)(v_afe["params"])
     gnorm = sum(float(jnp.abs(t).sum()) for t in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_efe_conv6_smoke(rng):
+    """Dormant conv6 variant builds and runs at its hardcoded 256² shapes."""
+    from facevae_tpu.models.efe_conv6 import EFEConv6
+    m = EFEConv6(D=16, K=15)
+    x = jnp.asarray(rng.rand(1, 256, 256, 3), jnp.float32)
+    kp_old = jnp.asarray(rng.rand(1, 15, 3) * 2 - 1, jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+               x, None, kp_old, train_vae=False)
+    (kp, x_c, x_a_c, (mu, logstd), _), _ = m.apply(
+        v, x, None, kp_old, train_vae=False, mutable=["batch_stats"])
+    assert kp.shape == (1, 15, 3)
+    assert mu is not None and logstd is not None    # conv6's VAE always has heads
+    assert bool(jnp.isfinite(kp).all())
