@@ -130,7 +130,7 @@ def _corner_terms(rows, nidx, gx, gy, gz, dz, dy, D, H, W, C, need_seg=False):
 # ~0.4% relative error — on par with the bf16 activations this path serves.
 # ---------------------------------------------------------------------------
 
-_MM_CHUNK = 1 << 15
+_MM_CHUNK = 1 << 16
 
 
 def _zy_onehots(gy, gz, D, H, need_grads):
@@ -154,12 +154,14 @@ def _zy_onehots(gy, gz, D, H, need_grads):
             hit = (iota_r == r[:, None]) & valid[:, None]
             wz = (1.0 - tz) if dz == 0 else tz
             wy = (1.0 - ty) if dy == 0 else ty
-            A = A + jnp.where(hit, (wz * wy)[:, None], 0.0)
+            # built directly in bf16: halves the [chunk, D*H] transients so
+            # chunks can be 2x larger (fewer while iterations)
+            A = A + jnp.where(hit, (wz * wy)[:, None].astype(jnp.bfloat16), jnp.bfloat16(0))
             if need_grads:
                 dwy = -1.0 if dy == 0 else 1.0
                 dwz = -1.0 if dz == 0 else 1.0
-                Ay = Ay + jnp.where(hit, (dwy * wz)[:, None], 0.0)
-                Az = Az + jnp.where(hit, (dwz * wy)[:, None], 0.0)
+                Ay = Ay + jnp.where(hit, (dwy * wz)[:, None].astype(jnp.bfloat16), jnp.bfloat16(0))
+                Az = Az + jnp.where(hit, (dwz * wy)[:, None].astype(jnp.bfloat16), jnp.bfloat16(0))
     return A, Ay, Az
 
 
@@ -206,8 +208,7 @@ def _fwd_mm(x, grid, grids_per_source):
         gx, gy, gz, n = args
         A, _, _ = _zy_onehots(gy, gz, D, H, need_grads=False)
         rows_n = jax.lax.dynamic_index_in_dim(rows3, n, 0, keepdims=False)
-        S = jnp.dot(A.astype(jnp.bfloat16), rows_n,
-                    preferred_element_type=jnp.float32)          # [chunk, CW]
+        S = jnp.dot(A, rows_n, preferred_element_type=jnp.float32)   # [chunk, CW]
         w_flat, _ = _x_weights(gx, W, CW)
         return (S * w_flat).reshape(-1, C, W).sum(-1)            # [chunk, C]
 
@@ -230,10 +231,10 @@ def _bwd_mm(grids_per_source, res, g):
         gx, gy, gz, n, gout = args
         A, Ay, Az = _zy_onehots(gy, gz, D, H, need_grads=True)
         rows_n = jax.lax.dynamic_index_in_dim(rows3, n, 0, keepdims=False)
-        A16 = A.astype(jnp.bfloat16)
+        A16 = A
         S = jnp.dot(A16, rows_n, preferred_element_type=jnp.float32)
-        Sy = jnp.dot(Ay.astype(jnp.bfloat16), rows_n, preferred_element_type=jnp.float32)
-        Sz = jnp.dot(Az.astype(jnp.bfloat16), rows_n, preferred_element_type=jnp.float32)
+        Sy = jnp.dot(Ay, rows_n, preferred_element_type=jnp.float32)
+        Sz = jnp.dot(Az, rows_n, preferred_element_type=jnp.float32)
         w_flat, wdx_flat = _x_weights(gx, W, CW)
 
         gout_rep = jnp.repeat(gout, W, axis=1)                   # [chunk, CW]
