@@ -87,7 +87,10 @@ class InferencePipeline:
                 kp_s = kp_s_old
                 delta = jnp.zeros_like(kp_s)
             zero = jnp.zeros_like(yaw)
-            kp_d, Rd = transform_kp_with_new_pose(kp_c * scale, yaw, pitch, roll, t,
+            # scale is [N,1,1,1] (HPE head shape); reduce to [N,1,1] so the
+            # product keeps kp rank [N,K,3]
+            kp_d, Rd = transform_kp_with_new_pose(kp_c * scale.reshape(-1, 1, 1),
+                                                  yaw, pitch, roll, t,
                                                   delta, zero, zero, zero)
             deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_d, Rs, Rd)
             return self._apply("generator", fs, deformation, occlusion)
