@@ -109,8 +109,19 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
             last_batch, last_metrics = (s, d), metrics
 
             if writer is not None and idx % cfg.train.vis_every == 0 and is_master():
+                # reference logger.py:286-299: scalars + image grid + text line
                 index = epoch * len(loader) + idx
-                writer.add_scalars("loss_all", {**losses_g, **losses_d}, index)
+                all_losses = {**losses_g, **losses_d}
+                writer.add_scalars("loss_all", all_losses, index)
+                aux = jax.device_get(metrics["aux"])
+                image = visualizer.visualize(
+                    np.asarray(s), np.asarray(d), aux["generated_d"],
+                    aux["transformed_d"], aux["kp_s"], aux["kp_d"],
+                    aux["transformed_kp"], aux["occlusion"], aux["mask"])
+                writer.add_image(f"image_show_{epoch}", image, index,
+                                 dataformats="HWC")
+                line = "; ".join(f"{k} - {v:.5f}" for k, v in all_losses.items())
+                writer.add_text("log", f"{str(epoch).zfill(8)}) {line}", index)
 
         if profiling:      # epoch shorter than the trace window
             jax.profiler.stop_trace()
