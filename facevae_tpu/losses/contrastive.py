@@ -6,8 +6,10 @@
 
 The reference SyncBatchNorm-converts this module (trainer.py:261) but gives
 its parameters NO optimizer and no DDP wrapper (quirk q7) — they receive
-gradients but never update.  Default here mirrors that via optimizer masking
-(train/optim.py); LossConfig.train_contrastive_head=True opts into training.
+gradients but never update.  Default here mirrors that: the head's params are
+kept outside the differentiated/optimized tree (train/step.py);
+LossConfig.train_contrastive_head=True opts the head into the generator
+optimizer.
 """
 from __future__ import annotations
 

@@ -40,6 +40,11 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
     models = models or build_all_modules(cfg, axis_name=axis)
     g_tx, d_tx = make_optimizers(cfg)
     tv = cfg.train.train_vae if train_vae is None else train_vae
+    # Quirk q7: the reference never steps the SimSiam head (logger.py:60-61).
+    # When train_contrastive_head is set, the head joins the differentiated
+    # tree AND the generator optimizer (whose state was init'd to match in
+    # create_train_state).
+    train_head = cfg.loss.train_contrastive_head
 
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
         s, d, s_a, d_a = batch
@@ -47,8 +52,14 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         # ---- generator phase -------------------------------------------------
-        def g_loss_fn(g_params):
-            params = {**g_params, **state.d_params, **state.c_params}
+        g_opt_params = dict(state.g_params)
+        if train_head:
+            g_opt_params["contrastive"] = state.c_params["contrastive"]
+
+        def g_loss_fn(opt_params):
+            c_params = ({"contrastive": opt_params["contrastive"]} if train_head
+                        else state.c_params)
+            params = {**opt_params, **state.d_params, **c_params}
             bank = VarBank(params, state.batch_stats, state.spectral)
             losses, aux = generator_forward(models, state.teachers, bank, cfg,
                                             s, d, s_a, d_a, rng, train_vae=tv)
@@ -57,18 +68,23 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
             return total, (losses, aux, stats, spectral)
 
         (g_total, (losses_g, aux, stats, spectral)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+            g_loss_fn, has_aux=True)(g_opt_params)
         if axis is not None:
             g_grads = jax.lax.pmean(g_grads, axis)
-        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, g_opt_params)
+        new_opt_params = jax.tree.map(lambda p, u: p + u, g_opt_params, g_updates)
+        if train_head:
+            c_params = {"contrastive": new_opt_params.pop("contrastive")}
+        else:
+            c_params = state.c_params
+        g_params = new_opt_params
 
         # ---- discriminator phase --------------------------------------------
         generated_d = jax.lax.stop_gradient(aux["generated_d"])
         kp_d = jax.lax.stop_gradient(aux["kp_d"])
 
         def d_loss_fn(d_params):
-            params = {**g_params, **d_params, **state.c_params}
+            params = {**g_params, **d_params, **c_params}
             bank = VarBank(params, stats, spectral)
             losses = discriminator_forward(models, bank, cfg, d, generated_d, kp_d)
             st2, sp2 = bank.collections()
@@ -82,7 +98,7 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
         d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
 
         new_state = state.replace(
-            g_params=g_params, d_params=d_params,
+            g_params=g_params, d_params=d_params, c_params=c_params,
             batch_stats=stats, spectral=spectral,
             g_opt=g_opt, d_opt=d_opt, step=state.step + 1)
 

@@ -17,6 +17,12 @@ import jax
 # through the config API (must happen before any backend is initialized).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the 8-virtual-device train-step/model compiles
+# take minutes; repeat test runs hit the cache.
+from facevae_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

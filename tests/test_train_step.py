@@ -47,6 +47,34 @@ def test_single_device_step(cfg, rng):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+def test_contrastive_head_frozen_by_default(cfg, rng):
+    """Quirk q7 parity: SimSiam head params receive no updates by default."""
+    state = create_train_state(cfg, seed=0)
+    _, step = make_train_step(cfg, donate=False)
+    state2, _ = step(state, _batch(rng, 2, cfg.model.image_size), jax.random.PRNGKey(0))
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.c_params, state2.c_params)
+    assert max(jax.tree.leaves(diff)) == 0.0
+
+
+def test_contrastive_head_trains_when_enabled(cfg, rng):
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, loss=dataclasses.replace(
+        cfg.loss, train_contrastive_head=True))
+    state = create_train_state(cfg2, seed=0)
+    _, step = make_train_step(cfg2, donate=False)
+    state2, metrics = step(state, _batch(rng, 2, cfg2.model.image_size),
+                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["losses_g"]["C"]))
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.c_params, state2.c_params)
+    assert max(jax.tree.leaves(diff)) > 0.0
+    # a second step must also work (optimizer state tree stays consistent)
+    state3, _ = step(state2, _batch(rng, 2, cfg2.model.image_size),
+                     jax.random.PRNGKey(1))
+    assert int(state3.step) == 2
+
+
 def test_determinism(cfg, rng):
     batch = _batch(rng, 2, cfg.model.image_size)
     key = jax.random.PRNGKey(3)
