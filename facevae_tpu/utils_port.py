@@ -99,9 +99,16 @@ def _to_flax_kernel(w: np.ndarray) -> np.ndarray:
 def port_torch_to_flax(state_dict, params: Dict[str, Any],
                        batch_stats: Dict[str, Any] | None = None,
                        strict: bool = True,
-                       skip_modules: Tuple[str, ...] = ()):
+                       skip_modules: Tuple[str, ...] = (),
+                       spectral: Dict[str, Any] | None = None):
     """Return (new_params, new_batch_stats) with torch weights ported in,
-    zipping typed module streams in construction order."""
+    zipping typed module streams in construction order.
+
+    If ``spectral`` (the flax 'spectral' collection of power-iteration u/v
+    vectors) is given, torch weight_u/weight_v buffers are ported into it
+    IN PLACE (v re-permuted from torch's (I,K...) flattening to our (K...,I))
+    so spectral-normed forwards match the reference bit-for-fp32 from the
+    first step."""
     import copy
     new_params = copy.deepcopy(_to_mutable(params))
     new_stats = copy.deepcopy(_to_mutable(batch_stats)) if batch_stats else None
@@ -119,10 +126,36 @@ def port_torch_to_flax(state_dict, params: Dict[str, Any],
         tname, tleaves = torch_mods[ti]
         ti += 1
         _port_module(mod_path, leaves, tname, tleaves, new_params, new_stats, strict)
+        if spectral is not None and "weight_u" in tleaves:
+            _port_spectral(spectral, mod_path, tleaves)
     if strict and ti != len(torch_mods):
         raise ValueError(f"{len(torch_mods) - ti} torch modules left unported: "
                          f"{[m for m, _ in torch_mods[ti:ti+4]]}...")
     return new_params, new_stats
+
+
+def _port_spectral(spectral: Dict[str, Any], mod_path, tleaves):
+    """Copy torch spectral-norm power-iteration state (weight_u [O],
+    weight_v [I*prod(K)] in (I,K...) order) into the flax 'spectral'
+    collection at mod_path (u [O], v [prod(K)*I] in (K...,I) order)."""
+    node = spectral
+    for p in mod_path:
+        if not isinstance(node, dict) or p not in node:
+            return                      # this module isn't spectral-normed here
+        node = node[p]
+    if not isinstance(node, dict) or "u" not in node:
+        return
+    w = tleaves.get("weight_orig")
+    u = tleaves["weight_u"]
+    v = tleaves.get("weight_v")
+    node["u"] = u.astype(np.asarray(node["u"]).dtype)
+    if v is not None and "v" in node and w is not None:
+        kshape = w.shape[2:]            # torch (O,I,K...)
+        I = w.shape[1]
+        ndim = len(kshape)
+        perm = tuple(range(1, 1 + ndim)) + (0,)   # (I,K...) -> (K...,I)
+        node["v"] = (v.reshape((I,) + tuple(kshape)).transpose(perm)
+                     .reshape(-1).astype(np.asarray(node["v"]).dtype))
 
 
 def _to_mutable(tree):
