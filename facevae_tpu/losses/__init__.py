@@ -13,4 +13,6 @@ from facevae_tpu.losses.keypoint import (
 from facevae_tpu.losses.vae_losses import kl_divergence_loss, recon_loss
 from facevae_tpu.losses.vgg import VGGFeatures, vgg19_taps, vggface_taps
 from facevae_tpu.losses.perceptual import PerceptualLoss
-from facevae_tpu.losses.contrastive import ContrastiveHead, contrastive_loss
+from facevae_tpu.losses.contrastive import (ContrastiveHead, ContrastiveHeadConv,
+                                            ContrastiveHeadConv2, contrastive_loss)
+from facevae_tpu.losses.lpips import LPIPS

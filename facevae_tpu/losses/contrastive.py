@@ -93,13 +93,37 @@ def contrastive_loss(f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - _cosine(f1, f2).mean()
 
 
+class ContrastiveHeadConv(nn.Module):
+    """Dormant conv variant (reference ContrastiveLoss_conv, losses.py:281-326)
+    in its default mode="direction": a 1x1 conv projects the [N,h,w,C] feature
+    maps to 3 channels and the loss is the LPIPS distance between the two
+    projections (losses.py:308,323-325).  The LPIPS criterion is a frozen
+    module — pass its variables separately (lpips_vars), like the other
+    teachers.
+
+    The mode="non-direction" branch is broken upstream (the predictor emits
+    out_2_dim=3 channels but is compared against the 128-channel projection
+    z2 inside a 3-channel-input LPIPS, losses.py:298,306,318) and is not
+    built.
+    """
+
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, f1: jnp.ndarray, f2: jnp.ndarray, lpips_vars,
+                 train: bool = True) -> jnp.ndarray:
+        from facevae_tpu.nn import Conv
+        from facevae_tpu.losses.lpips import LPIPS
+        project = Conv(3, 1, 1, 0, dim=2, use_bias=True, name="projection")
+        z1 = project(f1, train)
+        z2 = project(f2, train)
+        return LPIPS().apply(lpips_vars, z1, z2).mean()
+
+
 class ContrastiveHeadConv2(nn.Module):
     """Dormant conv variant (reference ContrastiveLoss_conv2, losses.py:329-382,
     mode="non-direction"): strided conv+BN(affine=False) projector on [N,h,w,C]
     feature maps, 2-layer MLP predictor, symmetric negative-cosine.
-
-    (ContrastiveLoss_conv, losses.py:281-326, pulls a taming-transformers LPIPS
-    and is catalogued but not built — no LPIPS weights in this environment.)
     """
 
     in_dim: int = 256

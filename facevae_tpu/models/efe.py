@@ -1,12 +1,17 @@
 """EFE — expression feature extractor (active variant: conv5).
 
-One parameterized module covers the reference's EFE_conv3/conv4/conv5 family
-(models.py:573-799); they differ only in block composition:
+One parameterized module covers the reference's EFE_conv/conv2/conv3/conv4/
+conv5 family (models.py:297-799); they differ only in block composition:
   conv5: first down block is a SameBlock, last up block is a SameBlock,
          mid_conv reads half the bottleneck channels (the VAE's mu half),
          VAE = flatten_vae_nl.                       (models.py:724-799)
   conv4: all DownBlocks / all UpBlocks, VAE = flatten_vae.  (models.py:648-722)
   conv3: all DownBlocks / all UpBlocks, VAE = local_vae.    (models.py:573-645)
+  conv2: no VAE; contrastive features are the raw encoder maps.
+                                                     (models.py:371-439)
+  conv:  no VAE; contrastive features go through a strided plain-conv
+         projection stack (contra_seq, no norm/act between convs — the
+         reference stacks bare nn.Conv2d, models.py:329).  (models.py:297-369)
 
 forward(x, x_a, kp_old, train_vae) returns
   (kp [N,K,3], x_c, x_a_c, (mu, logstd), (x_vae, x_hat))
@@ -58,7 +63,7 @@ class _Encoder(nn.Module):
 
 
 class EFEConv(nn.Module):
-    variant: str = "conv5"                 # "conv3" | "conv4" | "conv5"
+    variant: str = "conv5"        # "conv" | "conv2" | "conv3" | "conv4" | "conv5"
     down_seq: Sequence[int] = (3, 32, 64, 128, 256, 32)
     up_seq: Sequence[int] = (256, 256, 128, 64, 32, 32)
     D: int = 16
@@ -66,6 +71,7 @@ class EFEConv(nn.Module):
     n_res: int = 3
     scale_factor: float = 0.25
     use_vae: bool = True
+    contra_seq: Optional[Sequence[int]] = None   # "conv" only (models.py:306)
     use_weight_norm: bool = False
     axis_name: Optional[str] = None
 
@@ -80,11 +86,24 @@ class EFEConv(nn.Module):
         if x_a is not None:
             x_c = x
             x_a_c = encoder(x_a, train)    # second call on the same module: shared params
+            if self.variant == "conv":
+                # EFE_conv's contrastive projection: bare strided convs, no
+                # norm/act (reference models.py:329,336-342), shared weights
+                cseq = self.contra_seq or (self.down_seq[-1], 512, 1024, 2048)
+                convs = [Conv(cseq[i + 1], 3, 2, 1, dim=2,
+                              name=f"contra_{i}")
+                         for i in range(len(cseq) - 1)]
+
+                def project(f):
+                    for cv in convs:
+                        f = cv(f, train)
+                    return f.reshape(f.shape[0], -1)
+                x_c, x_a_c = project(x_c), project(x_a_c)
         else:
             x_c, x_a_c = None, None
 
         mu = logstd = x_vae = x_hat = None
-        if self.use_vae:
+        if self.use_vae and self.variant not in ("conv", "conv2"):
             x_vae = x
             if self.variant == "conv5":
                 (mu, logstd), x_hat = FlattenVAE_NL(name="vae")(x, train_vae)

@@ -21,9 +21,11 @@ def build_models(cfg: ModelConfig, axis_name: Optional[str] = None) -> Dict[str,
 
     Mirrors reference logger.py:52-53 g_models/d_models composition.
     """
-    if cfg.efe_variant not in ("conv3", "conv4", "conv5", "conv6"):
+    if cfg.efe_variant not in ("conv", "conv2", "conv3", "conv4", "conv5",
+                               "conv6", "linear", "lin_conv"):
         raise ValueError(f"unsupported EFE variant {cfg.efe_variant!r} "
-                         "(conv3/conv4/conv5/conv6; see models/VARIANTS.md)")
+                         "(conv/conv2/conv3/conv4/conv5/conv6/linear/lin_conv;"
+                         " see models/VARIANTS.md)")
     # rematerialization happens at the call boundary (train/objective.py
     # VarBank.apply(remat=True)) — jax.checkpoint over the whole apply with
     # static flags closed over; ModelConfig.remat gates it.
@@ -34,6 +36,12 @@ def build_models(cfg: ModelConfig, axis_name: Optional[str] = None) -> Dict[str,
         efe = EFEConv6(D=cfg.depth, K=cfg.num_kp,
                        scale_factor=cfg.efe_scale_factor, use_vae=cfg.efe_use_vae,
                        use_weight_norm=cfg.use_weight_norm, axis_name=axis_name)
+    elif cfg.efe_variant in ("linear", "lin_conv"):
+        from facevae_tpu.models.efe_linear import EFELinear, efe_lin_conv_defaults
+        kw = efe_lin_conv_defaults() if cfg.efe_variant == "lin_conv" else {}
+        efe = EFELinear(K=cfg.num_kp, scale_factor=cfg.efe_scale_factor,
+                        use_weight_norm=cfg.use_weight_norm, axis_name=axis_name,
+                        **kw)
     else:
         efe = _EFE(variant=cfg.efe_variant, down_seq=tuple(cfg.efe_down_seq),
                    up_seq=tuple(cfg.efe_up_seq), D=cfg.depth, K=cfg.num_kp,

@@ -20,3 +20,7 @@ from facevae_tpu.nn.blocks import (
 )
 from facevae_tpu.nn.elr import (LinearELR, Conv2dELR, ConvTranspose2dELR,
                                 ConvTranspose3dELR, UpSampleBlock3d)
+from facevae_tpu.nn.wn import (LinearWN, Conv2dWN, ConvTranspose2dWN,
+                               Conv2dUB, Conv2dWNUB, ConvTranspose2dUB,
+                               ConvTranspose2dWNUB, Conv3dUB, ConvTranspose3dUB,
+                               downsample2d, dilate2d, fuse_wn)

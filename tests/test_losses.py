@@ -164,3 +164,30 @@ def test_contrastive_head_vs_torch(rng):
     p1, p2 = pred(z1), pred(z2)
     expect = 1 - (crit(p1, z2.detach()).mean() + crit(p2, z1.detach()).mean()) * 0.5
     np.testing.assert_allclose(float(got), float(expect), rtol=1e-3, atol=1e-4)
+
+
+def test_contrastive_conv_heads_smoke(rng):
+    """Dormant conv contrastive heads (reference losses.py:281-382) run and
+    give finite, symmetric-zero losses on identical inputs."""
+    from facevae_tpu.losses import ContrastiveHeadConv, ContrastiveHeadConv2, LPIPS
+
+    f = jnp.asarray(rng.rand(2, 8, 8, 16).astype(np.float32))
+    g = jnp.asarray(rng.rand(2, 8, 8, 16).astype(np.float32))
+
+    lpips = LPIPS()
+    lv = lpips.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                    jnp.zeros((1, 32, 32, 3)))
+    head = ContrastiveHeadConv()
+    # LPIPS needs >=32px inputs for its 5 pools; upsample the feature maps
+    f32 = jnp.repeat(jnp.repeat(f, 4, 1), 4, 2)
+    g32 = jnp.repeat(jnp.repeat(g, 4, 1), 4, 2)
+    v = head.init(jax.random.PRNGKey(1), f32, g32, lv)
+    loss = head.apply(v, f32, g32, lv)
+    same = head.apply(v, f32, f32, lv)
+    assert np.isfinite(float(loss))
+    assert abs(float(same)) < 1e-5       # LPIPS distance of identical inputs
+
+    head2 = ContrastiveHeadConv2(in_dim=16, out_dim=8, dim_linear=8 * 4 * 4)
+    v2 = head2.init(jax.random.PRNGKey(2), f, g)
+    loss2, _ = head2.apply(v2, f, g, mutable=["batch_stats"])
+    assert np.isfinite(float(loss2))

@@ -188,3 +188,80 @@ def test_efe_conv6_smoke(rng):
     assert kp.shape == (1, 15, 3)
     assert mu is not None and logstd is not None    # conv6's VAE always has heads
     assert bool(jnp.isfinite(kp).all())
+
+
+def test_efe_linear_variants_smoke(rng):
+    """Dormant linear variants (reference models.py:82-295) at tiny widths."""
+    from facevae_tpu.models.efe_linear import EFELinear
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    x_a = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    kp_old = jnp.asarray(rng.rand(2, 5, 3) * 2 - 1, jnp.float32)
+
+    # "linear": no VAE, contrastive hard-disabled (quirk q2)
+    # 64px * 0.25 = 16px -> 4 DownBlocks -> 1x1 spatial -> flat dim 32
+    m = EFELinear(variant="linear", down_seq=(3, 8, 16, 24, 32),
+                  mid_seq=(32, 16), cat_seq=(16, 16),
+                  up_seq=(16, 16), K=5)
+    v = m.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+               x, x_a, kp_old)
+    (kp, x_c, x_a_c, (mu, logstd), _), _ = m.apply(
+        v, x, x_a, kp_old, mutable=["batch_stats"])
+    assert kp.shape == (2, 5, 3) and bool((jnp.abs(kp) <= 1).all())
+    assert x_c is None and x_a_c is None and mu is None
+
+    # "lin_conv": linear VAE + contrastive on flat encoder features
+    m = EFELinear(variant="lin_conv", down_seq=(3, 8, 16, 24, 32),
+                  vae_seq=(32, 64, 64),
+                  mid_seq=(32, 32), cat_seq=(32, 32),
+                  up_seq=(32, 32), K=5)
+    v = m.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+               x, x_a, kp_old, train_vae=True)
+    (kp, x_c, x_a_c, (mu, logstd), _), _ = m.apply(
+        v, x, x_a, kp_old, train_vae=True,
+        rngs={"noise": jax.random.PRNGKey(2)}, mutable=["batch_stats"])
+    assert kp.shape == (2, 5, 3)
+    assert x_c is not None and x_a_c.shape == x_c.shape
+    assert mu is not None and logstd.shape == mu.shape
+    assert bool(jnp.isfinite(kp).all())
+
+
+def test_efe_conv_conv2_smoke(rng):
+    """Dormant conv/conv2 variants (reference models.py:297-439)."""
+    from facevae_tpu.models.efe import EFEConv
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    x_a = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    kp_old = jnp.asarray(rng.rand(2, 5, 3) * 2 - 1, jnp.float32)
+
+    for variant in ("conv", "conv2"):
+        m = EFEConv(variant=variant, down_seq=(3, 8, 16, 24),
+                    up_seq=(24, 16, 8, 8), D=4, K=5, n_res=1,
+                    contra_seq=(24, 16, 32), use_vae=False)
+        v = m.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+                   x, x_a, kp_old)
+        (kp, x_c, x_a_c, (mu, logstd), _), _ = m.apply(
+            v, x, x_a, kp_old, mutable=["batch_stats"])
+        assert kp.shape == (2, 5, 3) and bool((jnp.abs(kp) <= 1).all())
+        assert mu is None and logstd is None
+        assert x_c is not None and x_a_c is not None
+        if variant == "conv":
+            assert x_c.ndim == 2        # flattened strided-conv projection
+        else:
+            assert x_c.ndim == 4        # raw encoder feature map
+
+
+def test_factory_dispatches_all_variants(tiny):
+    """build_models resolves every catalogued efe_variant to the right class
+    (the reference selects variants by editing imports, trainer.py:7)."""
+    import dataclasses
+    from facevae_tpu.models.efe import EFEConv
+    from facevae_tpu.models.efe_linear import EFELinear
+    for variant, cls in (("conv", EFEConv), ("conv2", EFEConv), ("conv3", EFEConv),
+                         ("conv4", EFEConv), ("conv5", EFEConv),
+                         ("linear", EFELinear), ("lin_conv", EFELinear)):
+        cfg = dataclasses.replace(tiny.model, efe_variant=variant)
+        m = build_models(cfg)["efe"]
+        assert isinstance(m, cls), variant
+        if variant in ("conv", "conv2", "conv3", "conv4", "conv5"):
+            assert m.variant == variant
+    with pytest.raises(ValueError):
+        build_models(dataclasses.replace(tiny.model, efe_variant="nope"))
