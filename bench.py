@@ -34,9 +34,12 @@ def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+    # remat off by default: 256² batch 8 fits HBM without it and runs ~9%
+    # faster (PERF.md); pass "remat" to re-enable for larger batches
+    remat = (sys.argv[4] == "remat") if len(sys.argv) > 4 else False
 
     from facevae_tpu.config import ModelConfig
-    cfg = Config(model=ModelConfig(compute_dtype=dtype))
+    cfg = Config(model=ModelConfig(compute_dtype=dtype, remat=remat))
     state = create_train_state(cfg, seed=0)
     _, step = make_train_step(cfg, donate=True)
 
@@ -67,6 +70,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
+        "baseline_is_estimate": True,  # reference publishes no numbers; see BASELINE.md
     }))
 
 

@@ -99,16 +99,9 @@ def _corner_terms(rows, nidx, gx, gy, gz, dz, dy, D, H, W, C, need_seg=False):
 
     seg = rows[ridx].astype(jnp.float32)                       # [chunk, C*W] gather
 
-    # weight vectors built directly in the flat C-major layout: index c*W+x
+    # weight vectors in the flat C-major layout (built at width W, tiled to CW)
     P_, CW = seg.shape
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1) % W
-    x0i = x0.astype(jnp.int32)[:, None]
-    w0 = jnp.where((iota_x == x0i) & (x0 >= 0)[:, None] & (x0 <= W - 1)[:, None],
-                   1.0, 0.0)
-    w1 = jnp.where((iota_x == x0i + 1) & ((x0 + 1) >= 0)[:, None]
-                   & ((x0 + 1) <= W - 1)[:, None], 1.0, 0.0)
-    w_flat = (1.0 - tx)[:, None] * w0 + tx[:, None] * w1       # [chunk, C*W]
-    wdx_flat = w1 - w0                                         # d w / d tx
+    w_flat, wdx_flat = _x_weights(gx, W, CW)                   # [chunk, C*W]
 
     # flat elementwise products, then a contiguous lane-axis reduction per c
     val = (seg * w_flat).reshape(P_, C, W).sum(-1)             # [chunk, C]
@@ -133,49 +126,60 @@ def _corner_terms(rows, nidx, gx, gy, gz, dz, dy, D, H, W, C, need_seg=False):
 _MM_CHUNK = 1 << 16
 
 
+def _axis_onehot(g, n, need_grad=True):
+    """1D linear-interp one-hot [chunk, n] (2 nonzeros, OOB masked) and its
+    derivative d/dg [chunk, n].
+
+    The tent formulation w_j = max(0, 1-|j-g|) IS linear interpolation with
+    zeros padding: in-bounds corners get (1-t, t), out-of-range corners simply
+    have no j — ~3x fewer VPU ops than the floor/compare/mask construction
+    and bit-identical where t = g-floor(g) is exact.  dw picks the torch
+    subgradient at integer g (corner j: -1 on (j, j+1], +1 on [j-1, j))."""
+    iota = jax.lax.broadcasted_iota(jnp.float32, (1, n), 1)
+    d = iota - g[:, None]                                  # [chunk, n]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    dw = None
+    if need_grad:
+        dw = (jnp.where(d > 0, 1.0, -1.0)
+              * ((d > -1) & (d <= 1)).astype(jnp.float32))
+    return w, dw
+
+
 def _zy_onehots(gy, gz, D, H, need_grads):
     """Build the (z,y)-bilinear one-hot matrices: A [chunk, D*H] with up to 4
-    nonzeros; optionally dA/dgy and dA/dgz."""
-    y0 = jnp.floor(gy)
-    z0 = jnp.floor(gz)
-    ty = gy - y0
-    tz = gz - z0
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, D * H), 1)
-    A = 0.0
-    Ay = 0.0
-    Az = 0.0
-    for dz in (0, 1):
-        for dy in (0, 1):
-            zc = z0 + dz
-            yc = y0 + dy
-            valid = ((zc >= 0) & (zc <= D - 1) & (yc >= 0) & (yc <= H - 1))
-            r = (jnp.clip(zc, 0, D - 1).astype(jnp.int32) * H
-                 + jnp.clip(yc, 0, H - 1).astype(jnp.int32))
-            hit = (iota_r == r[:, None]) & valid[:, None]
-            wz = (1.0 - tz) if dz == 0 else tz
-            wy = (1.0 - ty) if dy == 0 else ty
-            # built directly in bf16: halves the [chunk, D*H] transients so
-            # chunks can be 2x larger (fewer while iterations)
-            A = A + jnp.where(hit, (wz * wy)[:, None].astype(jnp.bfloat16), jnp.bfloat16(0))
-            if need_grads:
-                dwy = -1.0 if dy == 0 else 1.0
-                dwz = -1.0 if dz == 0 else 1.0
-                Ay = Ay + jnp.where(hit, (dwy * wz)[:, None].astype(jnp.bfloat16), jnp.bfloat16(0))
-                Az = Az + jnp.where(hit, (dwz * wy)[:, None].astype(jnp.bfloat16), jnp.bfloat16(0))
+    nonzeros; optionally dA/dgy and dA/dgz.
+
+    The bilinear weights (incl. validity masks) factor exactly over z and y,
+    so A = Az ⊗ Ay is ONE outer-product pass over [chunk, D*H] instead of 4
+    full-width corner passes — the A build was the VPU hot spot of the warp
+    (the [chunk, D*H] transients dominate the one-hot-matmul fusions)."""
+    P = gy.shape[0]
+    wz, dwz = _axis_onehot(gz, D, need_grads)         # [chunk, D]
+    wy, dwy = _axis_onehot(gy, H, need_grads)         # [chunk, H]
+
+    def outer(a, b):
+        # fp32 product, bf16 result: same rounding as the old (wz*wy)->bf16
+        return (a[:, :, None] * b[:, None, :]).astype(jnp.bfloat16).reshape(P, D * H)
+
+    A = outer(wz, wy)
+    Ay = Az = 0.0
+    if need_grads:
+        Ay = outer(wz, dwy)
+        Az = outer(dwz, wy)
     return A, Ay, Az
 
 
-def _x_weights(gx, W, CW):
-    x0 = jnp.floor(gx)
-    tx = gx - x0
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1) % W
-    x0i = x0.astype(jnp.int32)[:, None]
-    w0 = jnp.where((iota_x == x0i) & (x0 >= 0)[:, None] & (x0 <= W - 1)[:, None],
-                   1.0, 0.0)
-    w1 = jnp.where((iota_x == x0i + 1) & ((x0 + 1) >= 0)[:, None]
-                   & ((x0 + 1) <= W - 1)[:, None], 1.0, 0.0)
-    w_flat = (1.0 - tx)[:, None] * w0 + tx[:, None] * w1
-    wdx_flat = w1 - w0
+def _x_weights(gx, W, CW, need_grad=True):
+    """x-interp weights in the flat C-major layout (index c*W+x): built at
+    width W, then tiled across the C channel blocks (the flat pattern repeats
+    every W entries — a broadcast, not CW-wide compares)."""
+    P = gx.shape[0]
+    C = CW // W
+    wx, dwx = _axis_onehot(gx, W, need_grad)          # [chunk, W]
+    w_flat = jnp.broadcast_to(wx[:, None, :], (P, C, W)).reshape(P, CW)
+    wdx_flat = None
+    if need_grad:
+        wdx_flat = jnp.broadcast_to(dwx[:, None, :], (P, C, W)).reshape(P, CW)
     return w_flat, wdx_flat
 
 
@@ -209,7 +213,7 @@ def _fwd_mm(x, grid, grids_per_source):
         A, _, _ = _zy_onehots(gy, gz, D, H, need_grads=False)
         rows_n = jax.lax.dynamic_index_in_dim(rows3, n, 0, keepdims=False)
         S = jnp.dot(A, rows_n, preferred_element_type=jnp.float32)   # [chunk, CW]
-        w_flat, _ = _x_weights(gx, W, CW)
+        w_flat, _ = _x_weights(gx, W, CW, need_grad=False)
         return (S * w_flat).reshape(-1, C, W).sum(-1)            # [chunk, C]
 
     out = jax.lax.map(body, (cgx, cgy, cgz, cnid))
@@ -274,13 +278,81 @@ def _mm_ok(x, grid, grids_per_source):
     return x.dtype == jnp.bfloat16 and Pn % min(_MM_CHUNK, Pn) == 0
 
 
+_PALLAS_VB = 1024
+
+
+def _pallas_ok(x, grid, grids_per_source):
+    """Fused implicit-A Pallas kernel (ops/pallas/warp_mm.py): bf16 path on a
+    real TPU, shapes aligned (blocks don't straddle sources, VMEM budget).
+
+    OPT-IN (FACEVAE_PALLAS_WARP=1): in isolation the kernel beats the XLA
+    one-hot-matmul forward 1.17x (tools/check_pallas_warp.py), but inside the
+    full training step it measures NET SLOWER (A/B bench: 7.56 vs 8.42
+    frames/s) — XLA overlaps the A-build VPU work with neighboring MXU ops,
+    while pallas_call is an opaque region the scheduler can't interleave.
+    Kept for odd single-op workloads and as the VMEM-resident starting point
+    for future fusions; see PERF.md."""
+    import os
+    if not os.environ.get("FACEVAE_PALLAS_WARP"):
+        return False
+    N, D, H, W, C = x.shape
+    Pn = grids_per_source * grid.shape[1] * grid.shape[2] * grid.shape[3]
+    return (x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and C * W <= 512                      # VMEM budget of the S block
+            and (D * H) % 128 == 0
+            and Pn % _PALLAS_VB == 0)
+
+
+def _pallas_prepare(x, grid, grids_per_source):
+    from facevae_tpu.ops.pallas.warp_mm import warp_mm_fwd_pallas, warp_mm_bwd_pallas
+    N, D, H, W, C = x.shape
+    rows3 = x.transpose(0, 1, 2, 4, 3).reshape(N, D * H, C * W).astype(jnp.bfloat16)
+    gx, gy, gz, _ = _coords(x.shape, grid, grids_per_source)
+    return rows3, gx, gy, gz, (N, D, H, W, C)
+
+
+def _fwd_pallas(x, grid, grids_per_source):
+    from facevae_tpu.ops.pallas.warp_mm import warp_mm_fwd_pallas
+    rows3, gx, gy, gz, (N, D, H, W, C) = _pallas_prepare(x, grid, grids_per_source)
+    G = grid.shape[0]
+    Do, Ho, Wo = grid.shape[1:4]
+    out = warp_mm_fwd_pallas(rows3, gx, gy, gz, D=D, H=H, W=W, C=C, VB=_PALLAS_VB)
+    out = out.reshape(G, Do, Ho, Wo, C).astype(x.dtype)
+    out = checkpoint_name(out, "warp_out")
+    return out, (x, grid)
+
+
+def _bwd_pallas(grids_per_source, res, g):
+    from facevae_tpu.ops.pallas.warp_mm import warp_mm_bwd_pallas
+    x, grid = res
+    rows3, gx, gy, gz, (N, D, H, W, C) = _pallas_prepare(x, grid, grids_per_source)
+    P = gx.shape[0]
+    gout = g.reshape(P, C).astype(jnp.float32)
+    # bwd holds A/Ay/Az + S/Sy/Sz blocks concurrently -> smaller voxel block
+    drows, dgx, dgy, dgz = warp_mm_bwd_pallas(rows3, gx, gy, gz, gout,
+                                              D=D, H=H, W=W, C=C, VB=256)
+    dx = drows.reshape(N, D, H, C, W).transpose(0, 1, 2, 4, 3).astype(x.dtype)
+    dgx = dgx * ((W - 1) * 0.5)
+    dgy = dgy * ((H - 1) * 0.5)
+    dgz = dgz * ((D - 1) * 0.5)
+    dgrid = jnp.stack([dgx, dgy, dgz], axis=-1).reshape(grid.shape).astype(grid.dtype)
+    return dx, dgrid
+
+
 def _dispatch_fwd(x, grid, grids_per_source=1):
+    if _pallas_ok(x, grid, grids_per_source):
+        return _fwd_pallas(x, grid, grids_per_source)
     if _mm_ok(x, grid, grids_per_source):
         return _fwd_mm(x, grid, grids_per_source)
     return _fwd(x, grid, grids_per_source)
 
 
 def _dispatch_bwd(grids_per_source, res, g):
+    # bwd stays on the XLA one-hot-matmul path: it needs 4 matmuls + the A/Ay/Az
+    # builds, which shrink the Pallas voxel block to VB=256 and measure 3x
+    # SLOWER than XLA (tools/check_pallas_warp.py: 182ms vs 58ms) — XLA's
+    # scheduler overlaps the four matmuls better than one serialized kernel.
     x, grid = res
     if _mm_ok(x, grid, grids_per_source):
         return _bwd_mm(grids_per_source, res, g)

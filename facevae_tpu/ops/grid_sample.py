@@ -4,8 +4,11 @@ XLA has no native grid_sample; this is the op that gates the whole model
 (used by the 3D warp in MFE/Generator — reference utils.py:176 and
 models.py:1103 — and the 2D TPS warp at trainer.py:110).  Implemented as
 corner gathers with `jnp.take_along_axis` over a flattened spatial axis —
-XLA lowers these to efficient dynamic-gathers on TPU.  A Pallas kernel for
-the hot 3D path lives in ops/pallas/ and is dispatched via `use_pallas`.
+XLA lowers these to efficient dynamic-gathers on TPU.  The hot 3D training
+path does NOT go through this module: ops/fast_warp.py re-expresses the
+trilinear warp as one-hot matmuls and dispatches to the fused Pallas kernels
+in ops/pallas/warp_mm.py on TPU (this gather formulation is the exact-fp32
+fallback and the oracle in tests/test_fast_warp.py).
 
 Semantics matched to torch.nn.functional.grid_sample:
   - align_corners=True:  ix = (gx + 1)/2 * (W - 1)

@@ -1,0 +1,192 @@
+"""Fused trilinear-warp matmul kernels (Pallas / Mosaic).
+
+The bf16 warp path expresses the (z,y)-corner lookup as a one-hot matmul
+A[vox, D*H] @ rows[D*H, C*W] (see ops/fast_warp.py).  In XLA the A operand
+must materialize in HBM — ~2KB/voxel of pure zeros traffic that dominates the
+warp cost (profiled: ~0.34ms of each ~0.52ms warp fusion is A bytes).  Here A
+(and in backward Ay/Az and the scatter one-hot A^T) are built INSIDE the
+kernel in VMEM and fed straight to the MXU; HBM sees only coords in and
+values out (~30B/voxel).
+
+Numerics are identical to the XLA formulation (same fp32 weight products
+rounded to bf16, same fp32 accumulation); the XLA path remains the fallback
+for CPU tests / odd shapes and is the reference in tests/test_fast_warp.py.
+
+Layout contract (matches fast_warp._mm_prepare):
+  rows3 [N, D*H, C*W] bf16  — C-major rows (index c*W + x)
+  coords gx/gy/gz [NB, VB] f32, n-major voxel order (source n = block//bps)
+  fwd out [NB*VB, C] f32; bwd outs dgx/dgy/dgz [NB, VB] + drows [N, D*H, C*W]
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _axis_weights(g, n, iota_axis, need_grad=True):
+    """Per-voxel 2-tap weights along one axis, spread over a [VB, L] iota map.
+
+    g [VB] fractional coords; iota_axis [1, L] holds this axis' index at every
+    flat position.  Returns (w, dw): [VB, L] fp32.
+
+    Tent formulation (see ops/fast_warp._axis_onehot): w = max(0, 1-|j-g|) IS
+    zeros-padded linear interpolation, at ~3x fewer VPU ops than the
+    floor/compare/mask build; dw keeps the torch subgradient at integer g.
+    """
+    d = iota_axis.astype(jnp.float32) - g[:, None]          # [VB, L]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    dw = None
+    if need_grad:
+        dw = (jnp.where(d > 0, 1.0, -1.0)
+              * ((d > -1) & (d <= 1)).astype(jnp.float32))
+    return w, dw
+
+
+def _build_A(gy, gz, D, H, need_grads):
+    """A [VB, D*H] bf16 (+ dA/dgy, dA/dgz) built entirely in registers/VMEM."""
+    DH = D * H
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, DH), 1)
+    wz, dwz = _axis_weights(gz, D, iota // H, need_grads)
+    wy, dwy = _axis_weights(gy, H, iota % H, need_grads)
+    A = (wz * wy).astype(jnp.bfloat16)
+    if not need_grads:
+        return A, None, None
+    return A, (wz * dwy).astype(jnp.bfloat16), (dwz * wy).astype(jnp.bfloat16)
+
+
+def _x_weights(gx, W, CW, need_grad=True):
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1) % W
+    return _axis_weights(gx, W, iota_x, need_grad)
+
+
+def _seg_matrix(C, W):
+    """Constant [C*W, C] block indicator: segment-sum over x via the MXU."""
+    m = np.zeros((C * W, C), np.float32)
+    for c in range(C):
+        m[c * W:(c + 1) * W, c] = 1.0
+    return jnp.asarray(m, jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(rows_ref, gx_ref, gy_ref, gz_ref, seg_ref, out_ref, *, D, H, W, C):
+    gx = gx_ref[0, 0, :]
+    gy = gy_ref[0, 0, :]
+    gz = gz_ref[0, 0, :]
+    A, _, _ = _build_A(gy, gz, D, H, need_grads=False)
+    S = jnp.dot(A, rows_ref[0], preferred_element_type=jnp.float32)   # [VB, CW]
+    wx, _ = _x_weights(gx, W, C * W, need_grad=False)
+    out_ref[:] = jnp.dot((S * wx).astype(jnp.bfloat16), seg_ref[:],
+                         preferred_element_type=jnp.float32)          # [VB, C]
+
+
+def warp_mm_fwd_pallas(rows3, gx, gy, gz, *, D, H, W, C, VB=1024):
+    """rows3 [N, DH, CW] bf16; gx/gy/gz [P] f32 (n-major).  Returns [P, C] f32."""
+    N, DH, CW = rows3.shape
+    P = gx.shape[0]
+    assert P % (N * VB) == 0 and DH == D * H and CW == C * W, (P, N, VB, rows3.shape)
+    nb = P // VB
+    bps = nb // N                      # blocks per source
+    # Mosaic block rule: last two block dims must divide (8,128) or equal the
+    # array dims -> coords carried as [nb, 1, VB] with (1,1,VB) blocks
+    g2 = lambda a: a.reshape(nb, 1, VB)
+    seg = _seg_matrix(C, W)
+
+    kernel = functools.partial(_fwd_kernel, D=D, H=H, W=W, C=C)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, C), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, DH, CW), lambda b: (b // bps, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CW, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((VB, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
+    )(rows3, g2(gx), g2(gy), g2(gz), seg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
+                dgx_ref, dgy_ref, dgz_ref, drows_ref, *, D, H, W, C, bps):
+    b = pl.program_id(0)
+    gx = gx_ref[0, 0, :]
+    gy = gy_ref[0, 0, :]
+    gz = gz_ref[0, 0, :]
+    rows = rows_ref[0]
+
+    A, Ay, Az = _build_A(gy, gz, D, H, need_grads=True)
+    S = jnp.dot(A, rows, preferred_element_type=jnp.float32)
+    Sy = jnp.dot(Ay, rows, preferred_element_type=jnp.float32)
+    Sz = jnp.dot(Az, rows, preferred_element_type=jnp.float32)
+    wx, dwx = _x_weights(gx, W, C * W)
+
+    gout = gout_ref[0]                                              # [VB, C]
+    gout_rep = jnp.dot(gout.astype(jnp.bfloat16), segT_ref[:],
+                       preferred_element_type=jnp.float32)          # [VB, CW]
+
+    dgx_ref[0, 0, :] = jnp.sum(S * dwx * gout_rep, axis=-1)
+    dgy_ref[0, 0, :] = jnp.sum(Sy * wx * gout_rep, axis=-1)
+    dgz_ref[0, 0, :] = jnp.sum(Sz * wx * gout_rep, axis=-1)
+
+    upd = (gout_rep * wx).astype(jnp.bfloat16)                      # [VB, CW]
+    dn = jax.lax.dot_general(A, upd, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)    # [DH, CW]
+
+    @pl.when(b % bps == 0)
+    def _():
+        drows_ref[:] = jnp.zeros_like(drows_ref)
+    drows_ref[:] += dn[None]
+
+
+def warp_mm_bwd_pallas(rows3, gx, gy, gz, gout, *, D, H, W, C, VB=256):
+    """Returns (drows [N, DH, CW] f32, dgx, dgy, dgz [P] f32)."""
+    N, DH, CW = rows3.shape
+    P = gx.shape[0]
+    nb = P // VB
+    bps = nb // N
+    g2 = lambda a: a.reshape(nb, 1, VB)
+    segT = _seg_matrix(C, W).T                                       # [C, CW]
+
+    kernel = functools.partial(_bwd_kernel, D=D, H=H, W=W, C=C, bps=bps)
+    dgx, dgy, dgz, drows = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, VB), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, VB), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, VB), jnp.float32),
+            jax.ShapeDtypeStruct((N, DH, CW), jnp.float32),
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, DH, CW), lambda b: (b // bps, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, VB, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CW), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DH, CW), lambda b: (b // bps, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(rows3, g2(gx), g2(gy), g2(gz), gout.reshape(nb, VB, C), segT)
+    return drows, dgx.reshape(P), dgy.reshape(P), dgz.reshape(P)

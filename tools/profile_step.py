@@ -28,7 +28,7 @@ def main():
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/facevae_profile"
 
-    cfg = Config(model=ModelConfig(compute_dtype=dtype))
+    cfg = Config(model=ModelConfig(compute_dtype=dtype, remat=False))
     state = create_train_state(cfg, seed=0)
     _, step = make_train_step(cfg, donate=True)
 
