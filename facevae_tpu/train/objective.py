@@ -85,7 +85,8 @@ def _chunk3(x):
 def generator_forward(models: Dict[str, Any], teachers: Dict[str, Any],
                       bank: VarBank, cfg: Config,
                       s, d, s_a, d_a, rng: jax.Array,
-                      train_vae: bool = False, train: bool = True
+                      train_vae: bool = False, train: bool = True,
+                      transform_params=None,
                       ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Full generator-side forward.  Returns (loss dict, aux visuals dict).
 
@@ -107,9 +108,13 @@ def generator_forward(models: Dict[str, Any], teachers: Dict[str, Any],
     fs = bank.apply("afe", models["afe"], s_c, train=train)
     kp_c = bank.apply("ckd", models["ckd"], s_c, train=train, remat=rm)
 
-    tp = random_transform_params(rng_tps, N, sigma_affine=cfg.train.sigma_affine,
-                                 sigma_tps=cfg.train.sigma_tps,
-                                 points_tps=cfg.train.points_tps, dtype=jnp.float32)
+    # transform_params override: parity harnesses replay the reference's
+    # Transform noise (trainer.py:270) instead of drawing fresh TPS params
+    tp = transform_params
+    if tp is None:
+        tp = random_transform_params(rng_tps, N, sigma_affine=cfg.train.sigma_affine,
+                                     sigma_tps=cfg.train.sigma_tps,
+                                     points_tps=cfg.train.points_tps, dtype=jnp.float32)
     transformed_d = transform_frame(tp, d.astype(jnp.float32))
     cated = jnp.concatenate([s_c, d_c, transformed_d.astype(cdt)], axis=0)
 

@@ -63,6 +63,53 @@ def make_optimizers(cfg: Config):
     return g_tx, d_tx
 
 
+_NAME_IDS = {n: i for i, n in enumerate(
+    ("afe", "ckd", "hpe_ede", "efe", "mfe", "generator", "discriminator",
+     "hopenet", "perceptual", "contrastive"))}
+
+
+def init_all_variables(models: Dict[str, Any], cfg: Config, seed: int = 0) -> Dict[str, Any]:
+    """Initialize every module with shape-correct dummy inputs.
+
+    Called under jit by create_train_state (eager per-op dispatch through the
+    TPU tunnel makes module-by-module init take minutes; one compiled program
+    takes seconds).  Porting code (utils_port order-zip, checkpoint/teacher
+    converters) must call this EAGERLY instead: the jit pytree round-trip
+    re-sorts dict keys, destroying the creation order the order-zip relies on.
+    """
+    m = cfg.model
+    key = jax.random.PRNGKey(seed)
+    N = 1
+    img = jnp.zeros((N, m.image_size, m.image_size, 3), jnp.float32)
+    kp = jnp.zeros((N, m.num_kp, 3), jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (N, 3, 3))
+    Hq = m.image_size // 4
+
+    def init(name, *args, **kwargs):
+        k = jax.random.fold_in(key, _NAME_IDS[name])
+        return models[name].init({"params": k, "noise": jax.random.fold_in(k, 7)},
+                                 *args, **kwargs)
+
+    variables: Dict[str, Any] = {}
+    variables["afe"] = init("afe", img)
+    variables["ckd"] = init("ckd", img)
+    variables["hpe_ede"] = init("hpe_ede", img)
+    variables["efe"] = init("efe", img, img, kp)
+    fs = jnp.zeros((N, m.depth, Hq, Hq, m.app_channels), jnp.float32)
+    variables["mfe"] = init("mfe", fs, kp, kp, eye, eye)
+    deform = jnp.zeros((N, m.depth, Hq, Hq, 3), jnp.float32)
+    occ = jnp.zeros((N, Hq, Hq, 1), jnp.float32)
+    variables["generator"] = init("generator", fs, deform, occ)
+    variables["discriminator"] = init("discriminator", img, kp)
+    variables["hopenet"] = init("hopenet", jnp.zeros((N, 224, 224, 3), jnp.float32))
+    variables["perceptual"] = init("perceptual", img, img)
+    feat_dim = (m.image_size // 64) ** 2 * m.efe_down_seq[-1]
+    variables["contrastive"] = init("contrastive",
+                                    jnp.zeros((2, feat_dim), jnp.float32),
+                                    jnp.zeros((2, feat_dim), jnp.float32))
+    return variables
+
+
 def create_train_state(cfg: Config, seed: int = 0,
                        axis_name: Optional[str] = None,
                        models: Optional[Dict[str, Any]] = None) -> TrainState:
@@ -74,45 +121,7 @@ def create_train_state(cfg: Config, seed: int = 0,
     """
     m = cfg.model
     models = models or build_all_modules(cfg, axis_name=axis_name)
-
-    _name_ids = {n: i for i, n in enumerate(
-        ("afe", "ckd", "hpe_ede", "efe", "mfe", "generator", "discriminator",
-         "hopenet", "perceptual", "contrastive"))}
-
-    @jax.jit
-    def _init_all():
-        key = jax.random.PRNGKey(seed)
-        N = 1
-        img = jnp.zeros((N, m.image_size, m.image_size, 3), jnp.float32)
-        kp = jnp.zeros((N, m.num_kp, 3), jnp.float32)
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (N, 3, 3))
-        Hq = m.image_size // 4
-
-        def init(name, *args, **kwargs):
-            k = jax.random.fold_in(key, _name_ids[name])
-            return models[name].init({"params": k, "noise": jax.random.fold_in(k, 7)},
-                                     *args, **kwargs)
-
-        variables: Dict[str, Any] = {}
-        variables["afe"] = init("afe", img)
-        variables["ckd"] = init("ckd", img)
-        variables["hpe_ede"] = init("hpe_ede", img)
-        variables["efe"] = init("efe", img, img, kp)
-        fs = jnp.zeros((N, m.depth, Hq, Hq, m.app_channels), jnp.float32)
-        variables["mfe"] = init("mfe", fs, kp, kp, eye, eye)
-        deform = jnp.zeros((N, m.depth, Hq, Hq, 3), jnp.float32)
-        occ = jnp.zeros((N, Hq, Hq, 1), jnp.float32)
-        variables["generator"] = init("generator", fs, deform, occ)
-        variables["discriminator"] = init("discriminator", img, kp)
-        variables["hopenet"] = init("hopenet", jnp.zeros((N, 224, 224, 3), jnp.float32))
-        variables["perceptual"] = init("perceptual", img, img)
-        feat_dim = (m.image_size // 64) ** 2 * m.efe_down_seq[-1]
-        variables["contrastive"] = init("contrastive",
-                                        jnp.zeros((2, feat_dim), jnp.float32),
-                                        jnp.zeros((2, feat_dim), jnp.float32))
-        return variables
-
-    variables = _init_all()
+    variables = jax.jit(lambda: init_all_variables(models, cfg, seed))()
     g_params = {n: variables[n]["params"] for n in G_MODEL_NAMES}
     d_params = {n: variables[n]["params"] for n in D_MODEL_NAMES}
     c_params = {"contrastive": variables["contrastive"]["params"]}

@@ -46,7 +46,10 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
     # create_train_state).
     train_head = cfg.loss.train_contrastive_head
 
-    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
+    def step(state: TrainState, batch, rng,
+             transform_params=None) -> Tuple[TrainState, Dict[str, Any]]:
+        # transform_params: parity harnesses replay the reference Transform
+        # noise (trainer.py:270) instead of drawing TPS params from rng
         s, d, s_a, d_a = batch
         if axis is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
@@ -62,7 +65,8 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
             params = {**opt_params, **state.d_params, **c_params}
             bank = VarBank(params, state.batch_stats, state.spectral)
             losses, aux = generator_forward(models, state.teachers, bank, cfg,
-                                            s, d, s_a, d_a, rng, train_vae=tv)
+                                            s, d, s_a, d_a, rng, train_vae=tv,
+                                            transform_params=transform_params)
             total = sum(losses.values())
             stats, spectral = bank.collections()
             return total, (losses, aux, stats, spectral)

@@ -40,29 +40,59 @@ def flatten_ordered(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()) -> List[
     return out
 
 
-def group_flax_modules(params: Dict[str, Any], batch_stats: Dict[str, Any] | None = None):
-    """Group flat leaves by owning module (path minus leaf name), ordered.
+def _merge_orders(p: List[str], s: List[str]) -> List[str]:
+    """Merge two creation-ordered key lists sharing a common subsequence:
+    params order is kept; stats-only keys are inserted at the position implied
+    by their order relative to common keys (an affine-less BatchNorm has ONLY
+    batch_stats, but still occupies its creation slot in the module stream)."""
+    out: List[str] = []
+    si = 0
+    sset, pset = set(s), set(p)
+    for k in p:
+        if k in sset:
+            while si < len(s) and s[si] != k:
+                if s[si] not in pset:
+                    out.append(s[si])
+                si += 1
+            si += 1
+        out.append(k)
+    while si < len(s):
+        if s[si] not in pset:
+            out.append(s[si])
+        si += 1
+    return out
 
-    Returns list of (module_path, {leaf_name: array}).  batch_stats leaves are
-    merged into their module's dict as 'mean'/'var'.
+
+def group_flax_modules(params: Dict[str, Any], batch_stats: Dict[str, Any] | None = None):
+    """Group leaves by owning module (path minus leaf name), in CREATION order
+    across BOTH collections (a merged traversal: stats-only modules — e.g.
+    BatchNorm(use_scale_bias=False) — sit at their creation position, not at
+    the end).  batch_stats leaves are merged as 'bn_mean'/'bn_var'.
+
+    Requires creation-ordered dicts: use variables from a direct (non-jit)
+    module.init — a jit pytree round-trip re-sorts dict keys.
     """
     modules: Dict[Tuple[str, ...], Dict[str, np.ndarray]] = {}
     order: List[Tuple[str, ...]] = []
-    for path, leaf in flatten_ordered(params):
-        mod, name = path[:-1], path[-1]
-        if mod not in modules:
-            modules[mod] = {}
-            order.append(mod)
-        modules[mod][name] = leaf
-    if batch_stats:
-        for path, leaf in flatten_ordered(batch_stats):
-            mod, name = path[:-1], path[-1]
-            if mod in modules:
-                modules[mod]["bn_" + name] = leaf
+
+    def visit(p_node, s_node, path: Tuple[str, ...]):
+        p_dict = p_node if isinstance(p_node, dict) else {}
+        s_dict = s_node if isinstance(s_node, dict) else {}
+        for k in _merge_orders(list(p_dict.keys()), list(s_dict.keys())):
+            pv = p_dict.get(k)
+            sv = s_dict.get(k)
+            if isinstance(pv, dict) or isinstance(sv, dict):
+                visit(pv, sv, path + (k,))
             else:
-                modules.setdefault(mod, {})[("bn_" + name)] = leaf
-                if mod not in order:
-                    order.append(mod)
+                if path not in modules:
+                    modules[path] = {}
+                    order.append(path)
+                if pv is not None:
+                    modules[path][k] = np.asarray(pv)
+                if sv is not None:
+                    modules[path]["bn_" + k] = np.asarray(sv)
+
+    visit(params, batch_stats, ())
     return [(mod, modules[mod]) for mod in order]
 
 

@@ -38,26 +38,37 @@ def main():
     import jax
     from facevae_tpu.config import Config, ModelConfig
     from facevae_tpu.train import create_train_state, save_checkpoint
+    from facevae_tpu.train.state import build_all_modules, init_all_variables
     from facevae_tpu.utils_port import port_torch_to_flax
 
     ckp = torch.load(args.torch_ckp, map_location="cpu")
     cfg = Config(model=ModelConfig(image_size=args.image_size))
     state = create_train_state(cfg, seed=0)
+    # The order-zip port needs creation-ordered variable dicts; the train
+    # state's jit'd init re-sorts dict keys, so re-init EAGERLY for porting
+    # (offline tool: eager per-op dispatch cost is acceptable).
+    variables = init_all_variables(build_all_modules(cfg), cfg, seed=0)
 
     g_params = dict(state.g_params)
     d_params = dict(state.d_params)
     stats = dict(state.batch_stats)
+    spectral = jax.tree.map(np.asarray, dict(state.spectral))
     for name in MODELS:
         sd = {k: v.numpy() for k, v in ckp[name].items()}
         tgt = g_params if name in g_params else d_params
-        new_p, new_s = port_torch_to_flax(sd, tgt[name], stats.get(name))
+        sp = spectral.get(name)
+        new_p, new_s = port_torch_to_flax(
+            sd, variables[name]["params"], variables[name].get("batch_stats"),
+            spectral=sp)
         tgt[name] = new_p
         if new_s is not None:
             stats[name] = new_s
+        if sp is not None:
+            spectral[name] = sp
         print(f"ported {name}: {len(sd)} torch arrays")
 
     state = state.replace(g_params=g_params, d_params=d_params,
-                          batch_stats=stats,
+                          batch_stats=stats, spectral=spectral,
                           epoch=np.asarray(args.epoch, np.int32))
     path = save_checkpoint(args.out_dir, state, args.epoch)
     print(f"wrote {path}")
