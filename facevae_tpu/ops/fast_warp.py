@@ -282,18 +282,16 @@ _PALLAS_VB = 1024
 
 
 def _pallas_ok(x, grid, grids_per_source):
-    """Fused implicit-A Pallas kernel (ops/pallas/warp_mm.py): bf16 path on a
-    real TPU, shapes aligned (blocks don't straddle sources, VMEM budget).
-
-    OPT-IN (FACEVAE_PALLAS_WARP=1): in isolation the kernel beats the XLA
-    one-hot-matmul forward 1.17x (tools/check_pallas_warp.py), but inside the
-    full training step it measures NET SLOWER (A/B bench: 7.56 vs 8.42
-    frames/s) — XLA overlaps the A-build VPU work with neighboring MXU ops,
-    while pallas_call is an opaque region the scheduler can't interleave.
-    Kept for odd single-op workloads and as the VMEM-resident starting point
-    for future fusions; see PERF.md."""
+    """Fused implicit-A Pallas kernels (ops/pallas/warp_mm.py): DEFAULT for
+    the bf16 path on a real TPU when shapes align (blocks don't straddle
+    sources, VMEM budget).  Full-step A/B: 9.69 vs 8.41 frames/s over the XLA
+    one-hot-matmul path — the kernels never materialize the [P, D*H] one-hot
+    operands to HBM (the XLA path's dominant traffic), and the backward is
+    split into a dgrid kernel and a rows-free drows kernel with independent
+    voxel-block sizes.  FACEVAE_NO_PALLAS_WARP=1 falls back to XLA (A/B,
+    debugging); see PERF.md."""
     import os
-    if not os.environ.get("FACEVAE_PALLAS_WARP"):
+    if os.environ.get("FACEVAE_NO_PALLAS_WARP"):
         return False
     N, D, H, W, C = x.shape
     Pn = grids_per_source * grid.shape[1] * grid.shape[2] * grid.shape[3]
@@ -329,9 +327,8 @@ def _bwd_pallas(grids_per_source, res, g):
     rows3, gx, gy, gz, (N, D, H, W, C) = _pallas_prepare(x, grid, grids_per_source)
     P = gx.shape[0]
     gout = g.reshape(P, C).astype(jnp.float32)
-    # bwd holds A/Ay/Az + S/Sy/Sz blocks concurrently -> smaller voxel block
     drows, dgx, dgy, dgz = warp_mm_bwd_pallas(rows3, gx, gy, gz, gout,
-                                              D=D, H=H, W=W, C=C, VB=256)
+                                              D=D, H=H, W=W, C=C)
     dx = drows.reshape(N, D, H, C, W).transpose(0, 1, 2, 4, 3).astype(x.dtype)
     dgx = dgx * ((W - 1) * 0.5)
     dgy = dgy * ((H - 1) * 0.5)
@@ -349,11 +346,9 @@ def _dispatch_fwd(x, grid, grids_per_source=1):
 
 
 def _dispatch_bwd(grids_per_source, res, g):
-    # bwd stays on the XLA one-hot-matmul path: it needs 4 matmuls + the A/Ay/Az
-    # builds, which shrink the Pallas voxel block to VB=256 and measure 3x
-    # SLOWER than XLA (tools/check_pallas_warp.py: 182ms vs 58ms) — XLA's
-    # scheduler overlaps the four matmuls better than one serialized kernel.
     x, grid = res
+    if _pallas_ok(x, grid, grids_per_source):
+        return _bwd_pallas(grids_per_source, res, g)
     if _mm_ok(x, grid, grids_per_source):
         return _bwd_mm(grids_per_source, res, g)
     return _bwd(grids_per_source, res, g)

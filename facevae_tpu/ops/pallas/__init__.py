@@ -1,11 +1,12 @@
-"""Pallas TPU kernels (reserved).
+"""Pallas TPU kernels.
 
-Round-1 finding (see PERF.md): the hot trilinear warps are fastest as
-XLA-level formulations — wide-row gathers + VPU x-interp for fp32, and
-gather/scatter-free one-hot matmuls on the MXU for bf16 — because Mosaic
-supports lane-axis take_along_axis but not sublane gathers, which the warp
-would need for a direct in-VMEM kernel.  The next step if more warp speed is
-needed: a Pallas kernel holding one [D*H, C*W] volume (0.5-4MB) in VMEM and
-fusing the chunk loop + one-hot matmul + x-reduction, eliminating the
-lax.map while-loop overhead (~0.4s/step today).
+warp_mm.py — fused trilinear-warp kernels (the bf16 training hot path,
+default dispatch via ops/fast_warp.py): the one-hot interpolation operands
+are built in VMEM and fed straight to the MXU, so HBM never sees the
+[P, D*H] A matrices that dominate the XLA formulation's traffic.  Forward is
+one kernel; backward is split into a dgrid kernel and a rows-free drows
+kernel with independent voxel-block sizes.  Full-step A/B on the v5e:
+9.69 vs 8.41 frames/s over the XLA one-hot-matmul path (PERF.md).
 """
+from facevae_tpu.ops.pallas.warp_mm import (warp_mm_fwd_pallas,
+                                            warp_mm_bwd_pallas)

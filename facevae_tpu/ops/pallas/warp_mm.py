@@ -121,9 +121,8 @@ def warp_mm_fwd_pallas(rows3, gx, gy, gz, *, D, H, W, C, VB=1024):
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
-                dgx_ref, dgy_ref, dgz_ref, drows_ref, *, D, H, W, C, bps):
-    b = pl.program_id(0)
+def _dgrid_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
+                  dgx_ref, dgy_ref, dgz_ref, *, D, H, W, C):
     gx = gx_ref[0, 0, :]
     gy = gy_ref[0, 0, :]
     gz = gz_ref[0, 0, :]
@@ -143,7 +142,18 @@ def _bwd_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
     dgy_ref[0, 0, :] = jnp.sum(Sy * wx * gout_rep, axis=-1)
     dgz_ref[0, 0, :] = jnp.sum(Sz * wx * gout_rep, axis=-1)
 
-    upd = (gout_rep * wx).astype(jnp.bfloat16)                      # [VB, CW]
+
+def _drows_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
+                  *, D, H, W, C, bps):
+    b = pl.program_id(0)
+    gx = gx_ref[0, 0, :]
+    gy = gy_ref[0, 0, :]
+    gz = gz_ref[0, 0, :]
+    A, _, _ = _build_A(gy, gz, D, H, need_grads=False)
+    wx, _ = _x_weights(gx, W, C * W, need_grad=False)
+    gout_rep = jnp.dot(gout_ref[0].astype(jnp.bfloat16), segT_ref[:],
+                       preferred_element_type=jnp.float32)          # [VB, CW]
+    upd = (gout_rep * wx).astype(jnp.bfloat16)
     dn = jax.lax.dot_general(A, upd, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)    # [DH, CW]
 
@@ -153,40 +163,58 @@ def _bwd_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
     drows_ref[:] += dn[None]
 
 
-def warp_mm_bwd_pallas(rows3, gx, gy, gz, gout, *, D, H, W, C, VB=256):
-    """Returns (drows [N, DH, CW] f32, dgx, dgy, dgz [P] f32)."""
+def warp_mm_bwd_pallas(rows3, gx, gy, gz, gout, *, D, H, W, C,
+                       VB_DGRID=512, VB_DROWS=1024):
+    """Returns (drows [N, DH, CW] f32, dgx, dgy, dgz [P] f32).
+
+    Two kernels with independent voxel-block sizes: the dgrid kernel holds
+    A/Ay/Az + S/Sy/Sz + the rows block concurrently (VMEM-bound at VB=512);
+    the drows scatter-as-matmul kernel never touches rows at all (A^T @ upd
+    only), so it runs at VB=1024.
+    """
     N, DH, CW = rows3.shape
     P = gx.shape[0]
-    nb = P // VB
-    bps = nb // N
-    g2 = lambda a: a.reshape(nb, 1, VB)
     segT = _seg_matrix(C, W).T                                       # [C, CW]
 
-    kernel = functools.partial(_bwd_kernel, D=D, H=H, W=W, C=C, bps=bps)
-    dgx, dgy, dgz, drows = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 1, VB), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, VB), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, VB), jnp.float32),
-            jax.ShapeDtypeStruct((N, DH, CW), jnp.float32),
-        ),
-        grid=(nb,),
+    def coords(vb):
+        nb = P // vb
+        g2 = lambda a: a.reshape(nb, 1, vb)
+        return nb, g2(gx), g2(gy), g2(gz), gout.reshape(nb, vb, C)
+
+    nb1, cgx, cgy, cgz, cgo = coords(VB_DGRID)
+    bps1 = nb1 // N
+    k1 = functools.partial(_dgrid_kernel, D=D, H=H, W=W, C=C)
+    cspec = lambda vb: pl.BlockSpec((1, 1, vb), lambda b: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    dgx, dgy, dgz = pl.pallas_call(
+        k1,
+        out_shape=(jax.ShapeDtypeStruct((nb1, 1, VB_DGRID), jnp.float32),) * 3,
+        grid=(nb1,),
         in_specs=[
-            pl.BlockSpec((1, DH, CW), lambda b: (b // bps, 0, 0),
+            pl.BlockSpec((1, DH, CW), lambda b, bps=bps1: (b // bps, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, VB, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            cspec(VB_DGRID), cspec(VB_DGRID), cspec(VB_DGRID),
+            pl.BlockSpec((1, VB_DGRID, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C, CW), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DH, CW), lambda b: (b // bps, 0, 0),
+        out_specs=(cspec(VB_DGRID),) * 3,
+    )(rows3, cgx, cgy, cgz, cgo, segT)
+
+    nb2, cgx, cgy, cgz, cgo = coords(VB_DROWS)
+    bps2 = nb2 // N
+    k2 = functools.partial(_drows_kernel, D=D, H=H, W=W, C=C, bps=bps2)
+    drows = pl.pallas_call(
+        k2,
+        out_shape=jax.ShapeDtypeStruct((N, DH, CW), jnp.float32),
+        grid=(nb2,),
+        in_specs=[
+            cspec(VB_DROWS), cspec(VB_DROWS), cspec(VB_DROWS),
+            pl.BlockSpec((1, VB_DROWS, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-        ),
-    )(rows3, g2(gx), g2(gy), g2(gz), gout.reshape(nb, VB, C), segT)
+            pl.BlockSpec((C, CW), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, DH, CW), lambda b, bps=bps2: (b // bps, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(cgx, cgy, cgz, cgo, segT)
     return drows, dgx.reshape(P), dgy.reshape(P), dgz.reshape(P)
