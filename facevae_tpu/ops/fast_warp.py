@@ -278,12 +278,51 @@ def _mm_ok(x, grid, grids_per_source):
     return x.dtype == jnp.bfloat16 and Pn % min(_MM_CHUNK, Pn) == 0
 
 
-_PALLAS_VB = 1024
+_PALLAS_VMEM_BUDGET = 14 << 20     # per-kernel scoped-vmem budget (of 16MB)
+
+
+def _pallas_plan(x, grid, grids_per_source):
+    """Voxel-block sizes for the fused Pallas kernels, or None where the
+    shapes don't fit (falls back to XLA per function: a missing 'dgrid' or
+    'drows' only disables the Pallas BACKWARD).
+
+    Per-VB VMEM coefficients are calibrated against Mosaic's measured scoped
+    allocations (the fp32 axis-weight intermediates of _build_A dominate, not
+    just the A/S blocks): at the MFE shape (DH=1024, CW=256) the dgrid kernel
+    measured 19.4MB at VB=1024 and fits at VB=512.  Each VB must divide the
+    per-source voxel count so blocks never straddle sources."""
+    N, D, H, W, C = x.shape
+    DH, CW = D * H, C * W
+    Pn = grids_per_source * grid.shape[1] * grid.shape[2] * grid.shape[3]
+    if (x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu"
+            or DH % 128 != 0 or CW % 128 != 0):
+        return None
+
+    def pick(per_vb, fixed):
+        for vb in (1024, 512, 256, 128):
+            if Pn % vb == 0 and fixed + vb * per_vb <= _PALLAS_VMEM_BUDGET:
+                return vb
+        return None
+
+    rows_b = DH * CW * 2
+    plan = {
+        # fwd: tent weights fuse into the A assembly; A bf16 on DH, S f32 +
+        # wx f32 + Swx bf16 on CW (VB=1024 verified at the MFE shape)
+        "fwd": pick(DH * 6 + CW * 10, 2 * rows_b),
+        # dgrid: 4 axis f32 + 3 A bf16 on DH; 3 S + wx/dwx + gout_rep + temps
+        # (19.4MB measured at VB=1024/MFE -> VB=512 there)
+        "dgrid": pick(DH * 16 + CW * 24, 2 * rows_b),
+        # drows: like fwd plus the revisited f32 output block
+        "drows": pick(DH * 6 + CW * 10, DH * CW * 4),
+    }
+    if plan["fwd"] is None:
+        return None
+    return plan
 
 
 def _pallas_ok(x, grid, grids_per_source):
     """Fused implicit-A Pallas kernels (ops/pallas/warp_mm.py): DEFAULT for
-    the bf16 path on a real TPU when shapes align (blocks don't straddle
+    the bf16 path on a real TPU when shapes fit (blocks don't straddle
     sources, VMEM budget).  Full-step A/B: 9.69 vs 8.41 frames/s over the XLA
     one-hot-matmul path — the kernels never materialize the [P, D*H] one-hot
     operands to HBM (the XLA path's dominant traffic), and the backward is
@@ -293,13 +332,7 @@ def _pallas_ok(x, grid, grids_per_source):
     import os
     if os.environ.get("FACEVAE_NO_PALLAS_WARP"):
         return False
-    N, D, H, W, C = x.shape
-    Pn = grids_per_source * grid.shape[1] * grid.shape[2] * grid.shape[3]
-    return (x.dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"
-            and C * W <= 512                      # VMEM budget of the S block
-            and (D * H) % 128 == 0
-            and Pn % _PALLAS_VB == 0)
+    return _pallas_plan(x, grid, grids_per_source) is not None
 
 
 def _pallas_prepare(x, grid, grids_per_source):
@@ -315,8 +348,10 @@ def _fwd_pallas(x, grid, grids_per_source):
     rows3, gx, gy, gz, (N, D, H, W, C) = _pallas_prepare(x, grid, grids_per_source)
     G = grid.shape[0]
     Do, Ho, Wo = grid.shape[1:4]
-    out = warp_mm_fwd_pallas(rows3, gx, gy, gz, D=D, H=H, W=W, C=C, VB=_PALLAS_VB)
-    out = out.reshape(G, Do, Ho, Wo, C).astype(x.dtype)
+    plan = _pallas_plan(x, grid, grids_per_source)
+    out = warp_mm_fwd_pallas(rows3, gx, gy, gz, D=D, H=H, W=W, C=C,
+                             VB=plan["fwd"])                    # [C, P]
+    out = out.T.reshape(G, Do, Ho, Wo, C).astype(x.dtype)
     out = checkpoint_name(out, "warp_out")
     return out, (x, grid)
 
@@ -326,9 +361,12 @@ def _bwd_pallas(grids_per_source, res, g):
     x, grid = res
     rows3, gx, gy, gz, (N, D, H, W, C) = _pallas_prepare(x, grid, grids_per_source)
     P = gx.shape[0]
-    gout = g.reshape(P, C).astype(jnp.float32)
-    drows, dgx, dgy, dgz = warp_mm_bwd_pallas(rows3, gx, gy, gz, gout,
-                                              D=D, H=H, W=W, C=C)
+    goutT = g.reshape(P, C).T.astype(jnp.float32)   # [C, P]: voxels on lanes
+    plan = _pallas_plan(x, grid, grids_per_source)
+    drows, dgx, dgy, dgz = warp_mm_bwd_pallas(rows3, gx, gy, gz, goutT,
+                                              D=D, H=H, W=W, C=C,
+                                              VB_DGRID=plan["dgrid"],
+                                              VB_DROWS=plan["drows"])
     dx = drows.reshape(N, D, H, C, W).transpose(0, 1, 2, 4, 3).astype(x.dtype)
     dgx = dgx * ((W - 1) * 0.5)
     dgy = dgy * ((H - 1) * 0.5)
@@ -345,9 +383,18 @@ def _dispatch_fwd(x, grid, grids_per_source=1):
     return _fwd(x, grid, grids_per_source)
 
 
+def _bwd_pallas_ok(x, grid, grids_per_source):
+    import os
+    if os.environ.get("FACEVAE_NO_PALLAS_WARP"):
+        return False
+    plan = _pallas_plan(x, grid, grids_per_source)
+    return plan is not None and plan["dgrid"] is not None \
+        and plan["drows"] is not None
+
+
 def _dispatch_bwd(grids_per_source, res, g):
     x, grid = res
-    if _pallas_ok(x, grid, grids_per_source):
+    if _bwd_pallas_ok(x, grid, grids_per_source):
         return _bwd_pallas(grids_per_source, res, g)
     if _mm_ok(x, grid, grids_per_source):
         return _bwd_mm(grids_per_source, res, g)

@@ -83,12 +83,16 @@ def _fwd_kernel(rows_ref, gx_ref, gy_ref, gz_ref, seg_ref, out_ref, *, D, H, W, 
     A, _, _ = _build_A(gy, gz, D, H, need_grads=False)
     S = jnp.dot(A, rows_ref[0], preferred_element_type=jnp.float32)   # [VB, CW]
     wx, _ = _x_weights(gx, W, C * W, need_grad=False)
-    out_ref[:] = jnp.dot((S * wx).astype(jnp.bfloat16), seg_ref[:],
-                         preferred_element_type=jnp.float32)          # [VB, C]
+    # produce [C, VB] directly (segT contracted on CW): voxels stay on LANES
+    # in HBM — a [P, C<8] layout would tile-pad the lane dim 128/C-fold
+    out_ref[:] = jax.lax.dot_general(
+        seg_ref[:], (S * wx).astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                           # [C, VB]
 
 
 def warp_mm_fwd_pallas(rows3, gx, gy, gz, *, D, H, W, C, VB=1024):
-    """rows3 [N, DH, CW] bf16; gx/gy/gz [P] f32 (n-major).  Returns [P, C] f32."""
+    """rows3 [N, DH, CW] bf16; gx/gy/gz [P] f32 (n-major).  Returns [C, P] f32
+    (channel-major so the big P axis rides the 128-lane tiling)."""
     N, DH, CW = rows3.shape
     P = gx.shape[0]
     assert P % (N * VB) == 0 and DH == D * H and CW == C * W, (P, N, VB, rows3.shape)
@@ -97,12 +101,12 @@ def warp_mm_fwd_pallas(rows3, gx, gy, gz, *, D, H, W, C, VB=1024):
     # Mosaic block rule: last two block dims must divide (8,128) or equal the
     # array dims -> coords carried as [nb, 1, VB] with (1,1,VB) blocks
     g2 = lambda a: a.reshape(nb, 1, VB)
-    seg = _seg_matrix(C, W)
+    segT = _seg_matrix(C, W).T         # [C, CW]
 
     kernel = functools.partial(_fwd_kernel, D=D, H=H, W=W, C=C)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((P, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, P), jnp.float32),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, DH, CW), lambda b: (b // bps, 0, 0),
@@ -110,16 +114,24 @@ def warp_mm_fwd_pallas(rows3, gx, gy, gz, *, D, H, W, C, VB=1024):
             pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, VB), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CW, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, CW), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((VB, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
-    )(rows3, g2(gx), g2(gy), g2(gz), seg)
+        out_specs=pl.BlockSpec((C, VB), lambda b: (0, b), memory_space=pltpu.VMEM),
+    )(rows3, g2(gx), g2(gy), g2(gz), segT)
     return out
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
+
+def _gout_rep(goutT_blk, segT_blk):
+    """goutT [C, VB] -> per-flat-position grad [VB, CW] via the seg indicator
+    (both operands contracted on their first axis)."""
+    return jax.lax.dot_general(
+        goutT_blk.astype(jnp.bfloat16), segT_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
 
 def _dgrid_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
                   dgx_ref, dgy_ref, dgz_ref, *, D, H, W, C):
@@ -134,9 +146,7 @@ def _dgrid_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
     Sz = jnp.dot(Az, rows, preferred_element_type=jnp.float32)
     wx, dwx = _x_weights(gx, W, C * W)
 
-    gout = gout_ref[0]                                              # [VB, C]
-    gout_rep = jnp.dot(gout.astype(jnp.bfloat16), segT_ref[:],
-                       preferred_element_type=jnp.float32)          # [VB, CW]
+    gout_rep = _gout_rep(gout_ref[:], segT_ref[:])                  # [VB, CW]
 
     dgx_ref[0, 0, :] = jnp.sum(S * dwx * gout_rep, axis=-1)
     dgy_ref[0, 0, :] = jnp.sum(Sy * wx * gout_rep, axis=-1)
@@ -151,8 +161,7 @@ def _drows_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
     gz = gz_ref[0, 0, :]
     A, _, _ = _build_A(gy, gz, D, H, need_grads=False)
     wx, _ = _x_weights(gx, W, C * W, need_grad=False)
-    gout_rep = jnp.dot(gout_ref[0].astype(jnp.bfloat16), segT_ref[:],
-                       preferred_element_type=jnp.float32)          # [VB, CW]
+    gout_rep = _gout_rep(gout_ref[:], segT_ref[:])                  # [VB, CW]
     upd = (gout_rep * wx).astype(jnp.bfloat16)
     dn = jax.lax.dot_general(A, upd, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)    # [DH, CW]
@@ -163,14 +172,15 @@ def _drows_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
     drows_ref[:] += dn[None]
 
 
-def warp_mm_bwd_pallas(rows3, gx, gy, gz, gout, *, D, H, W, C,
+def warp_mm_bwd_pallas(rows3, gx, gy, gz, goutT, *, D, H, W, C,
                        VB_DGRID=512, VB_DROWS=1024):
-    """Returns (drows [N, DH, CW] f32, dgx, dgy, dgz [P] f32).
+    """goutT [C, P] f32 (channel-major, see warp_mm_fwd_pallas).  Returns
+    (drows [N, DH, CW] f32, dgx, dgy, dgz [P] f32).
 
     Two kernels with independent voxel-block sizes: the dgrid kernel holds
-    A/Ay/Az + S/Sy/Sz + the rows block concurrently (VMEM-bound at VB=512);
-    the drows scatter-as-matmul kernel never touches rows at all (A^T @ upd
-    only), so it runs at VB=1024.
+    A/Ay/Az + S/Sy/Sz + the rows block concurrently; the drows
+    scatter-as-matmul kernel never touches rows at all (A^T @ upd only), so
+    it runs a larger block.
     """
     N, DH, CW = rows3.shape
     P = gx.shape[0]
@@ -179,9 +189,12 @@ def warp_mm_bwd_pallas(rows3, gx, gy, gz, gout, *, D, H, W, C,
     def coords(vb):
         nb = P // vb
         g2 = lambda a: a.reshape(nb, 1, vb)
-        return nb, g2(gx), g2(gy), g2(gz), gout.reshape(nb, vb, C)
+        return nb, g2(gx), g2(gy), g2(gz)
 
-    nb1, cgx, cgy, cgz, cgo = coords(VB_DGRID)
+    def gspec(vb):
+        return pl.BlockSpec((C, vb), lambda b: (0, b), memory_space=pltpu.VMEM)
+
+    nb1, cgx, cgy, cgz = coords(VB_DGRID)
     bps1 = nb1 // N
     k1 = functools.partial(_dgrid_kernel, D=D, H=H, W=W, C=C)
     cspec = lambda vb: pl.BlockSpec((1, 1, vb), lambda b: (b, 0, 0),
@@ -194,14 +207,13 @@ def warp_mm_bwd_pallas(rows3, gx, gy, gz, gout, *, D, H, W, C,
             pl.BlockSpec((1, DH, CW), lambda b, bps=bps1: (b // bps, 0, 0),
                          memory_space=pltpu.VMEM),
             cspec(VB_DGRID), cspec(VB_DGRID), cspec(VB_DGRID),
-            pl.BlockSpec((1, VB_DGRID, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            gspec(VB_DGRID),
             pl.BlockSpec((C, CW), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(cspec(VB_DGRID),) * 3,
-    )(rows3, cgx, cgy, cgz, cgo, segT)
+    )(rows3, cgx, cgy, cgz, goutT, segT)
 
-    nb2, cgx, cgy, cgz, cgo = coords(VB_DROWS)
+    nb2, cgx, cgy, cgz = coords(VB_DROWS)
     bps2 = nb2 // N
     k2 = functools.partial(_drows_kernel, D=D, H=H, W=W, C=C, bps=bps2)
     drows = pl.pallas_call(
@@ -210,11 +222,10 @@ def warp_mm_bwd_pallas(rows3, gx, gy, gz, gout, *, D, H, W, C,
         grid=(nb2,),
         in_specs=[
             cspec(VB_DROWS), cspec(VB_DROWS), cspec(VB_DROWS),
-            pl.BlockSpec((1, VB_DROWS, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            gspec(VB_DROWS),
             pl.BlockSpec((C, CW), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, DH, CW), lambda b, bps=bps2: (b // bps, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(cgx, cgy, cgz, cgo, segT)
+    )(cgx, cgy, cgz, goutT, segT)
     return drows, dgx.reshape(P), dgy.reshape(P), dgz.reshape(P)
