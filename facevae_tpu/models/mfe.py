@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from facevae_tpu.nn import Conv, DownBlock3D, UpBlock3D
 from facevae_tpu.ops.motion import (
-    create_heatmap_representations, create_sparse_motions, create_deformed_source_image,
+    create_heatmap_representations_cl, create_sparse_motions,
+    create_deformed_source_fused,
 )
 
 
@@ -42,14 +43,17 @@ class MFE(nn.Module):
         K1 = self.K + 1
         fs_compressed = Conv(self.C2, 1, 1, 0, dim=3, name="compress")(fs, train)
 
-        heatmap = create_heatmap_representations(fs_compressed, kp_s, kp_d)  # [N,K+1,D,H,W]
+        heatmap = create_heatmap_representations_cl(fs_compressed, kp_s, kp_d)  # [N,D,H,W,K+1]
         sparse_motion = create_sparse_motions(fs_compressed, kp_s, kp_d, Rs, Rd)
-        deformed = create_deformed_source_image(fs_compressed, sparse_motion)  # [N,K+1,D,H,W,C2]
+        deformed = create_deformed_source_fused(fs_compressed, sparse_motion)  # [N,D,H,W,(K+1)*C2]
 
-        # k-major channel packing: [heat_k, deformed_k...] per keypoint
+        # k-major channel packing [heat_k, deformed_k...]: both operands are
+        # already voxel-major, so the interleave is a pure lane shuffle (the
+        # old [N,K+1,D,H,W,*] layouts cost ~170ms/step in transposes)
         per_k = jnp.concatenate([heatmap[..., None].astype(deformed.dtype),
-                                 deformed], axis=-1)             # [N,K+1,D,H,W,1+C2]
-        inp = per_k.transpose(0, 2, 3, 4, 1, 5).reshape(N, D, H, W, K1 * (1 + self.C2))
+                                 deformed.reshape(N, D, H, W, K1, self.C2)],
+                                axis=-1)                          # [N,D,H,W,K+1,1+C2]
+        inp = per_k.reshape(N, D, H, W, K1 * (1 + self.C2))
 
         x = inp
         for i in range(len(self.down_seq) - 1):

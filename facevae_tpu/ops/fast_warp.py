@@ -335,12 +335,16 @@ def _pallas_ok(x, grid, grids_per_source):
     return _pallas_plan(x, grid, grids_per_source) is not None
 
 
-def _pallas_prepare(x, grid, grids_per_source):
-    from facevae_tpu.ops.pallas.warp_mm import warp_mm_fwd_pallas, warp_mm_bwd_pallas
+def _rows3(x):
+    """[N,D,H,W,C] -> C-major row matrices [N, D*H, C*W] bf16."""
     N, D, H, W, C = x.shape
-    rows3 = x.transpose(0, 1, 2, 4, 3).reshape(N, D * H, C * W).astype(jnp.bfloat16)
+    return x.transpose(0, 1, 2, 4, 3).reshape(N, D * H, C * W).astype(jnp.bfloat16)
+
+
+def _pallas_prepare(x, grid, grids_per_source):
+    N, D, H, W, C = x.shape
     gx, gy, gz, _ = _coords(x.shape, grid, grids_per_source)
-    return rows3, gx, gy, gz, (N, D, H, W, C)
+    return _rows3(x), gx, gy, gz, (N, D, H, W, C)
 
 
 def _fwd_pallas(x, grid, grids_per_source):
@@ -381,6 +385,122 @@ def _dispatch_fwd(x, grid, grids_per_source=1):
     if _mm_ok(x, grid, grids_per_source):
         return _fwd_mm(x, grid, grids_per_source)
     return _fwd(x, grid, grids_per_source)
+
+
+# ---------------------------------------------------------------------------
+# fused multi-grid warp: one source volume, K1 grids, k-major fused channels
+# ---------------------------------------------------------------------------
+
+
+def _multi_coords(x, grids):
+    N, D, H, W, C = x.shape
+    K1 = grids.shape[1]
+    NV = grids.shape[2] * grids.shape[3] * grids.shape[4]
+    gx, gy, gz, _ = _coords(x.shape, grids.reshape(N * K1, *grids.shape[2:]), K1)
+    shape = (N, K1, NV)
+    return gx.reshape(shape), gy.reshape(shape), gz.reshape(shape), NV
+
+
+def _multi_plan(x, grids):
+    """Like _pallas_plan but for the k-looped kernels (fused IO adds the
+    [VB, K1*C] out/gout block to each budget)."""
+    import os
+    if os.environ.get("FACEVAE_NO_PALLAS_WARP"):
+        return None
+    N, D, H, W, C = x.shape
+    K1 = grids.shape[1]
+    DH, CW = D * H, C * W
+    NV = grids.shape[2] * grids.shape[3] * grids.shape[4]
+    if (x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu"
+            or DH % 128 != 0 or CW % 128 != 0 or (K1 * C) % 8 != 0):
+        return None
+
+    def pick(per_vb, fixed):
+        for vb in (1024, 512, 256, 128):
+            if NV % vb == 0 and fixed + vb * per_vb <= _PALLAS_VMEM_BUDGET:
+                return vb
+        return None
+
+    rows_b = DH * CW * 2
+    fused = K1 * C * 4                  # the [VB, K1*C] f32 out/gout block
+    # k-looped kernels measure ~2x the single-k per-VB transients (Mosaic
+    # overlaps loop iterations): fwd 22.3MB at VB=1024/MFE -> VB=512 fits
+    plan = {
+        "fwd": pick(DH * 14 + CW * 20 + fused, 2 * rows_b),
+        "dgrid": pick(DH * 22 + CW * 30 + fused, 2 * rows_b),
+        "drows": pick(DH * 14 + CW * 20 + fused, DH * CW * 4),
+    }
+    if plan["fwd"] is None:
+        return None
+    return plan
+
+
+def _multi_fallback_fwd(x, grids, K1):
+    """Fallback path: per-(n,k) warp (via the public custom-VJP op, so this
+    stays differentiable when called directly) + transpose into the fused
+    layout."""
+    N, D, H, W, C = x.shape
+    Do, Ho, Wo = grids.shape[2:5]
+    out = grid_sample_3d_fast(x, grids.reshape(N * K1, Do, Ho, Wo, 3), K1)
+    out = out.reshape(N, K1, Do, Ho, Wo, C).transpose(0, 2, 3, 4, 1, 5)
+    return out.reshape(N, Do, Ho, Wo, K1 * C)
+
+
+def _multi_fwd(x, grids, K1):
+    plan = _multi_plan(x, grids)
+    if plan is None:
+        return _multi_fallback_fwd(x, grids, K1), (x, grids)
+    from facevae_tpu.ops.pallas.warp_mm import warp_mm_fwd_multi_pallas
+    N, D, H, W, C = x.shape
+    Do, Ho, Wo = grids.shape[2:5]
+    rows3 = _rows3(x)
+    cgx, cgy, cgz, NV = _multi_coords(x, grids)
+    out = warp_mm_fwd_multi_pallas(rows3, cgx, cgy, cgz, D=D, H=H, W=W, C=C,
+                                   K1=K1, VB=plan["fwd"])
+    out = out.reshape(N, Do, Ho, Wo, K1 * C).astype(x.dtype)
+    out = checkpoint_name(out, "warp_out")
+    return out, (x, grids)
+
+
+def _multi_bwd(K1, res, g):
+    x, grids = res
+    N, D, H, W, C = x.shape
+    Do, Ho, Wo = grids.shape[2:5]
+    plan = _multi_plan(x, grids)
+    if (plan is None or plan["dgrid"] is None or plan["drows"] is None):
+        # route through the per-(n,k) backward
+        gk = g.reshape(N, Do, Ho, Wo, K1, C).transpose(0, 4, 1, 2, 3, 5)
+        dx, dgrid = _dispatch_bwd(
+            K1, (x, grids.reshape(N * K1, Do, Ho, Wo, 3)),
+            gk.reshape(N * K1, Do, Ho, Wo, C))
+        return dx, dgrid.reshape(grids.shape)
+    from facevae_tpu.ops.pallas.warp_mm import warp_mm_bwd_multi_pallas
+    rows3 = _rows3(x)
+    cgx, cgy, cgz, NV = _multi_coords(x, grids)
+    gout = g.reshape(N, NV, K1 * C).astype(jnp.float32)
+    drows, dgx, dgy, dgz = warp_mm_bwd_multi_pallas(
+        rows3, cgx, cgy, cgz, gout, D=D, H=H, W=W, C=C, K1=K1,
+        VB_DGRID=plan["dgrid"], VB_DROWS=plan["drows"])
+    dx = drows.reshape(N, D, H, C, W).transpose(0, 1, 2, 4, 3).astype(x.dtype)
+    dgrid = jnp.stack([dgx * ((W - 1) * 0.5), dgy * ((H - 1) * 0.5),
+                       dgz * ((D - 1) * 0.5)], axis=-1)
+    return dx, dgrid.reshape(grids.shape).astype(grids.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grid_sample_3d_multi(x: jnp.ndarray, grids: jnp.ndarray,
+                         K1: int) -> jnp.ndarray:
+    """Warp ONE source volume by K1 grids, emitting the fused k-major layout.
+
+    x [N,D,H,W,C]; grids [N,K1,Do,Ho,Wo,3] -> [N,Do,Ho,Wo,K1*C] where channel
+    k*C+c is grid k's warp of channel c — exactly the packing MFE's conv input
+    uses (models/mfe.py), so no boundary transposes exist on the TPU hot path
+    (the k-looped Pallas kernels read/write this layout directly)."""
+    return _multi_fwd(x, grids, K1)[0]
+
+
+grid_sample_3d_multi.defvjp(lambda x, grids, K1: _multi_fwd(x, grids, K1),
+                            _multi_bwd)
 
 
 def _bwd_pallas_ok(x, grid, grids_per_source):

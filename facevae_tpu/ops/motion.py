@@ -13,8 +13,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from facevae_tpu.ops.geometry import make_coordinate_grid_3d
-from facevae_tpu.ops.heatmap import kp2gaussian_3d
-from facevae_tpu.ops.fast_warp import grid_sample_3d_fast
+from facevae_tpu.ops.heatmap import kp2gaussian_3d, kp2gaussian_3d_cl
+from facevae_tpu.ops.fast_warp import grid_sample_3d_fast, grid_sample_3d_multi
 
 
 def create_heatmap_representations(fs: jnp.ndarray, kp_s: jnp.ndarray,
@@ -32,6 +32,21 @@ def create_heatmap_representations(fs: jnp.ndarray, kp_s: jnp.ndarray,
     heat = kp2gaussian_3d(kp_d, spatial) - kp2gaussian_3d(kp_s, spatial)
     zeros = jnp.zeros(heat.shape[:1] + (1,) + heat.shape[2:], heat.dtype)
     return jnp.concatenate([zeros, heat], axis=1)
+
+
+def create_heatmap_representations_cl(fs: jnp.ndarray, kp_s: jnp.ndarray,
+                                      kp_d: jnp.ndarray) -> jnp.ndarray:
+    """Channel-last variant: [N,D,H,W,K+1] with the zero channel first.
+
+    Same per-element math as create_heatmap_representations (identical
+    gaussians), built directly in the layout MFE's fused conv input uses so
+    no K-axis transpose exists on the hot path."""
+    spatial = fs.shape[1:4]
+    kp_s = kp_s.astype(jnp.float32)
+    kp_d = kp_d.astype(jnp.float32)
+    heat = kp2gaussian_3d_cl(kp_d, spatial) - kp2gaussian_3d_cl(kp_s, spatial)
+    zeros = jnp.zeros(heat.shape[:-1] + (1,), heat.dtype)
+    return jnp.concatenate([zeros, heat], axis=-1)
 
 
 def create_sparse_motions(fs: jnp.ndarray, kp_s: jnp.ndarray, kp_d: jnp.ndarray,
@@ -74,3 +89,12 @@ def create_deformed_source_image(fs: jnp.ndarray, sparse_motions: jnp.ndarray) -
     # the K+1 grids share the UN-repeated source volume (grids_per_source)
     warped = grid_sample_3d_fast(fs, grids, K1)
     return warped.reshape(N, K1, D, H, W, C)
+
+
+def create_deformed_source_fused(fs: jnp.ndarray,
+                                 sparse_motions: jnp.ndarray) -> jnp.ndarray:
+    """Same warps as create_deformed_source_image, emitted directly in MFE's
+    fused k-major channel layout [N,D,H,W,(K+1)*C] (the k-looped Pallas
+    kernels read/write this layout with zero boundary transposes)."""
+    K1 = sparse_motions.shape[1]
+    return grid_sample_3d_multi(fs, sparse_motions, K1)

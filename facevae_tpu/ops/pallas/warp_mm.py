@@ -73,6 +73,150 @@ def _seg_matrix(C, W):
 
 
 # ---------------------------------------------------------------------------
+# k-looped "multi" kernels: the MFE hot path
+#
+# The training step warps ONE source volume by K+1 motion grids and consumes
+# the results interleaved into channels ([N,D,H,W,(K+1)*C], k-major — see
+# models/mfe.py).  Warping each (n,k) independently forces [P, C<8]-shaped
+# HBM arrays at the op boundary, which the T(8,128) tiling pads 128/C-fold
+# and which cost ~170ms/step in boundary transposes.  These kernels loop k
+# INSIDE one voxel block instead: coords arrive [N, K1, NV] (clean NV lanes),
+# the output/cotangent IS the fused [N, NV, K1*C] tensor the model uses, and
+# no transposes exist at the boundary.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, seg_ref, out_ref,
+                      *, D, H, W, C, K1):
+    rows = rows_ref[0]
+    outs = []
+    for k in range(K1):
+        A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
+                           need_grads=False)
+        S = jnp.dot(A, rows, preferred_element_type=jnp.float32)    # [VB, CW]
+        wx, _ = _x_weights(gx_ref[0, k, :], W, C * W, need_grad=False)
+        outs.append(jnp.dot((S * wx).astype(jnp.bfloat16), seg_ref[:],
+                            preferred_element_type=jnp.float32))    # [VB, C]
+    out_ref[0] = jnp.concatenate(outs, axis=-1)                     # [VB, K1*C]
+
+
+def warp_mm_fwd_multi_pallas(rows3, cgx, cgy, cgz, *, D, H, W, C, K1, VB):
+    """rows3 [N, DH, CW] bf16; coords [N, K1, NV] f32.
+    Returns [N, NV, K1*C] f32 (k-major channels)."""
+    N, DH, CW = rows3.shape
+    NV = cgx.shape[2]
+    bpz = NV // VB
+    nb = N * bpz
+    seg = _seg_matrix(C, W)
+
+    cspec = pl.BlockSpec((1, K1, VB), lambda b, bpz=bpz: (b // bpz, 0, b % bpz),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_fwd_multi_kernel, D=D, H=H, W=W, C=C, K1=K1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, NV, K1 * C), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, DH, CW), lambda b, bpz=bpz: (b // bpz, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cspec, cspec, cspec,
+            pl.BlockSpec((CW, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, VB, K1 * C),
+                               lambda b, bpz=bpz: (b // bpz, b % bpz, 0),
+                               memory_space=pltpu.VMEM),
+    )(rows3, cgx, cgy, cgz, seg)
+
+
+def _dgrid_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
+                        dgx_ref, dgy_ref, dgz_ref, *, D, H, W, C, K1):
+    rows = rows_ref[0]
+    gout = gout_ref[0]                                              # [VB, K1*C]
+    dgxs, dgys, dgzs = [], [], []
+    for k in range(K1):
+        A, Ay, Az = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
+                             need_grads=True)
+        S = jnp.dot(A, rows, preferred_element_type=jnp.float32)
+        Sy = jnp.dot(Ay, rows, preferred_element_type=jnp.float32)
+        Sz = jnp.dot(Az, rows, preferred_element_type=jnp.float32)
+        wx, dwx = _x_weights(gx_ref[0, k, :], W, C * W)
+        gout_rep = jnp.dot(gout[:, k * C:(k + 1) * C].astype(jnp.bfloat16),
+                           segT_ref[:], preferred_element_type=jnp.float32)
+        dgxs.append(jnp.sum(S * dwx * gout_rep, axis=-1))
+        dgys.append(jnp.sum(Sy * wx * gout_rep, axis=-1))
+        dgzs.append(jnp.sum(Sz * wx * gout_rep, axis=-1))
+    dgx_ref[0] = jnp.stack(dgxs)                                    # [K1, VB]
+    dgy_ref[0] = jnp.stack(dgys)
+    dgz_ref[0] = jnp.stack(dgzs)
+
+
+def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
+                        *, D, H, W, C, K1, bpz):
+    b = pl.program_id(0)
+    gout = gout_ref[0]
+    acc = jnp.zeros(drows_ref.shape[1:], jnp.float32)               # [DH, CW]
+    for k in range(K1):
+        A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
+                           need_grads=False)
+        wx, _ = _x_weights(gx_ref[0, k, :], W, C * W, need_grad=False)
+        gout_rep = jnp.dot(gout[:, k * C:(k + 1) * C].astype(jnp.bfloat16),
+                           segT_ref[:], preferred_element_type=jnp.float32)
+        upd = (gout_rep * wx).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(A, upd, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    @pl.when(b % bpz == 0)
+    def _():
+        drows_ref[:] = jnp.zeros_like(drows_ref)
+    drows_ref[:] += acc[None]
+
+
+def warp_mm_bwd_multi_pallas(rows3, cgx, cgy, cgz, gout, *, D, H, W, C, K1,
+                             VB_DGRID, VB_DROWS):
+    """gout [N, NV, K1*C] f32.  Returns (drows [N, DH, CW] f32,
+    dgx, dgy, dgz [N, K1, NV] f32)."""
+    N, DH, CW = rows3.shape
+    NV = cgx.shape[2]
+    segT = _seg_matrix(C, W).T                                       # [C, CW]
+
+    def specs(vb):
+        bpz = NV // vb
+        cspec = pl.BlockSpec((1, K1, vb), lambda b: (b // bpz, 0, b % bpz),
+                             memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((1, vb, K1 * C), lambda b: (b // bpz, b % bpz, 0),
+                             memory_space=pltpu.VMEM)
+        rspec = pl.BlockSpec((1, DH, CW), lambda b: (b // bpz, 0, 0),
+                             memory_space=pltpu.VMEM)
+        return bpz, cspec, gspec, rspec
+
+    bpz, cspec, gspec, rspec = specs(VB_DGRID)
+    k1 = functools.partial(_dgrid_multi_kernel, D=D, H=H, W=W, C=C, K1=K1)
+    dgx, dgy, dgz = pl.pallas_call(
+        k1,
+        out_shape=(jax.ShapeDtypeStruct((N, K1, NV), jnp.float32),) * 3,
+        grid=(N * bpz,),
+        in_specs=[rspec, cspec, cspec, cspec, gspec,
+                  pl.BlockSpec((C, CW), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(cspec,) * 3,
+    )(rows3, cgx, cgy, cgz, gout, segT)
+
+    bpz, cspec, gspec, rspec = specs(VB_DROWS)
+    k2 = functools.partial(_drows_multi_kernel, D=D, H=H, W=W, C=C, K1=K1,
+                           bpz=bpz)
+    drows = pl.pallas_call(
+        k2,
+        out_shape=jax.ShapeDtypeStruct((N, DH, CW), jnp.float32),
+        grid=(N * bpz,),
+        in_specs=[cspec, cspec, cspec, gspec,
+                  pl.BlockSpec((C, CW), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=rspec,
+    )(cgx, cgy, cgz, gout, segT)
+    return drows, dgx, dgy, dgz
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 

@@ -73,3 +73,36 @@ def test_bf16_matmul_path_gradients(rng):
                                rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(dg_f), np.asarray(dg_r),
                                rtol=5e-2, atol=0.15)
+
+
+def test_grid_sample_3d_multi_fused_layout(rng):
+    """grid_sample_3d_multi's fused k-major output equals the per-(n,k) op
+    transposed into place, fwd and VJP (CPU exercises the fallback wiring;
+    tools/check_pallas_warp.py compares the TPU kernels to this)."""
+    import jax
+    from facevae_tpu.ops.fast_warp import grid_sample_3d_fast, grid_sample_3d_multi
+
+    N, D, H, W, C, K1 = 2, 4, 8, 8, 3, 5
+    x = jnp.asarray(rng.randn(N, D, H, W, C), jnp.float32)
+    grids = jnp.asarray(rng.rand(N, K1, D, H, W, 3) * 2.2 - 1.1, jnp.float32)
+
+    fused = grid_sample_3d_multi(x, grids, K1)
+    ref = grid_sample_3d_fast(x, grids.reshape(N * K1, D, H, W, 3), K1)
+    ref = ref.reshape(N, K1, D, H, W, C).transpose(0, 2, 3, 4, 1, 5) \
+        .reshape(N, D, H, W, K1 * C)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_fused(x, g):
+        return (grid_sample_3d_multi(x, g, K1) ** 2).sum()
+
+    def loss_ref(x, g):
+        return (grid_sample_3d_fast(x, g.reshape(N * K1, D, H, W, 3), K1) ** 2).sum()
+
+    (dx_f, dg_f) = jax.grad(loss_fused, argnums=(0, 1))(x, grids)
+    (dx_r, dg_r) = jax.grad(loss_ref, argnums=(0, 1))(x, grids)
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg_f),
+                               np.asarray(dg_r).reshape(grids.shape),
+                               rtol=1e-4, atol=1e-5)

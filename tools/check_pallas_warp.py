@@ -80,9 +80,52 @@ def check(N, D, H, W, C, GPS, label):
         print(f"  bwd: pallas {tbp*1e3:7.2f} ms   xla-mm {tbm*1e3:7.2f} ms   {tbm/tbp:5.2f}x")
 
 
+def check_multi(N, D, H, W, C, K1):
+    """Fused k-looped kernels vs the per-(n,k) fallback (fwd + full VJP)."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (N, D, H, W, C), jnp.bfloat16)
+    grids = jax.random.uniform(jax.random.fold_in(key, 1),
+                               (N, K1, D, H, W, 3), jnp.float32, -1.1, 1.1)
+    plan = fw._multi_plan(x, grids)
+    assert plan is not None, "multi pallas plan missing!"
+    print(f"multi warp (C={C}, K1={K1}): plan {plan}")
+
+    def loss(x, g, fused):
+        if fused:
+            out = fw.grid_sample_3d_multi(x, g, K1)
+        else:
+            out = fw._multi_fallback_fwd(x, g, K1)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    v_p, (dx_p, dg_p) = jax.jit(jax.value_and_grad(
+        lambda x, g: loss(x, g, True), argnums=(0, 1)))(x, grids)
+    v_m, (dx_m, dg_m) = jax.jit(jax.value_and_grad(
+        lambda x, g: loss(x, g, False), argnums=(0, 1)))(x, grids)
+    for a, b, name, tol in ((v_p, v_m, "loss", 0.01), (dx_p, dx_m, "dx", 0.03),
+                            (dg_p, dg_m, "dgrids", 0.03)):
+        a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+        e = np.abs(a - b).max(); sc = np.abs(b).max() + 1e-6
+        print(f"  multi {name}: max abs diff {e:.5f} (scale {sc:.2f})")
+        assert e <= tol * sc, name
+
+    def timed(f, iters=10):
+        jf = jax.jit(f)
+        jax.device_get(jf(x, grids))
+        t0 = time.time()
+        acc = [jf(x, grids) for _ in range(iters)]
+        jax.device_get(acc[-1])
+        return (time.time() - t0) / iters
+
+    tp = timed(jax.value_and_grad(lambda x, g: loss(x, g, True), argnums=(0, 1)))
+    tm = timed(jax.value_and_grad(lambda x, g: loss(x, g, False), argnums=(0, 1)))
+    print(f"  fwd+bwd: fused {tp*1e3:7.2f} ms   per-(n,k) {tm*1e3:7.2f} ms   "
+          f"{tm/tp:5.2f}x")
+
+
 def main():
     check(8, 16, 64, 64, 4, 16, "MFE warp (C=4, 16 grids/src)")
     check(8, 16, 64, 64, 32, 1, "generator warp (C=32, 1 grid/src)")
+    check_multi(8, 16, 64, 64, 4, 16)
 
 
 if __name__ == "__main__":
