@@ -20,9 +20,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from facevae_tpu.nn import Conv, DownBlock3D, UpBlock3D
+from facevae_tpu.ops.fast_warp import warp_multi_pixel
 from facevae_tpu.ops.motion import (
-    create_heatmap_representations_cl, create_sparse_motions,
-    create_deformed_source_fused,
+    create_heatmap_representations_cl, motion_affine_params,
+    sparse_motion_pixel_coords, blend_deformation,
 )
 
 
@@ -44,8 +45,12 @@ class MFE(nn.Module):
         fs_compressed = Conv(self.C2, 1, 1, 0, dim=3, name="compress")(fs, train)
 
         heatmap = create_heatmap_representations_cl(fs_compressed, kp_s, kp_d)  # [N,D,H,W,K+1]
-        sparse_motion = create_sparse_motions(fs_compressed, kp_s, kp_d, Rs, Rd)
-        deformed = create_deformed_source_fused(fs_compressed, sparse_motion)  # [N,D,H,W,(K+1)*C2]
+        # analytic motion: never materializes [N,K+1,D,H,W,3] (tile-hostile
+        # trailing dim of 3); the warp reads per-axis pixel coordinate planes
+        jac, b = motion_affine_params(kp_s, kp_d, Rs, Rd)
+        cgx, cgy, cgz = sparse_motion_pixel_coords((D, H, W), jac, b)
+        deformed = warp_multi_pixel(fs_compressed, cgx, cgy, cgz,
+                                    (D, H, W))                    # [N,D,H,W,(K+1)*C2]
 
         # k-major channel packing [heat_k, deformed_k...]: both operands are
         # already voxel-major, so the interleave is a pure lane shuffle (the
@@ -65,10 +70,10 @@ class MFE(nn.Module):
         x = jnp.concatenate([inp, x], axis=-1)                   # [N,D,H,W,80+32]
 
         mask = Conv(K1, 7, 1, 3, dim=3, name="mask_conv")(x, train)
-        # softmax + blended coordinates in fp32 (warp precision)
+        # softmax + blended coordinates in fp32 (warp precision); the blend
+        # reduces to mask-weighted keypoint tables (ops/motion.py)
         mask = nn.softmax(mask.astype(jnp.float32), axis=-1)     # [N,D,H,W,K+1]
-        deformation = jnp.einsum("ndhwk,nkdhwc->ndhwc", mask,
-                                 sparse_motion.astype(jnp.float32))
+        deformation = blend_deformation(mask, jac, b)
 
         # torch view(N, C*D, H, W): channel = c*D + d -> transpose C before D
         C = x.shape[-1]

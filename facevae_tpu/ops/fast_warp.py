@@ -401,16 +401,14 @@ def _multi_coords(x, grids):
     return gx.reshape(shape), gy.reshape(shape), gz.reshape(shape), NV
 
 
-def _multi_plan(x, grids):
+def _multi_plan(x, K1, NV):
     """Like _pallas_plan but for the k-looped kernels (fused IO adds the
     [VB, K1*C] out/gout block to each budget)."""
     import os
     if os.environ.get("FACEVAE_NO_PALLAS_WARP"):
         return None
     N, D, H, W, C = x.shape
-    K1 = grids.shape[1]
     DH, CW = D * H, C * W
-    NV = grids.shape[2] * grids.shape[3] * grids.shape[4]
     if (x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu"
             or DH % 128 != 0 or CW % 128 != 0 or (K1 * C) % 8 != 0):
         return None
@@ -446,61 +444,95 @@ def _multi_fallback_fwd(x, grids, K1):
     return out.reshape(N, Do, Ho, Wo, K1 * C)
 
 
-def _multi_fwd(x, grids, K1):
-    plan = _multi_plan(x, grids)
-    if plan is None:
-        return _multi_fallback_fwd(x, grids, K1), (x, grids)
-    from facevae_tpu.ops.pallas.warp_mm import warp_mm_fwd_multi_pallas
+def _grids_from_pixel_coords(x_shape, cgx, cgy, cgz, spatial):
+    """Rebuild normalized [-1,1] grids [N,K1,Do,Ho,Wo,3] for the fallback."""
+    N, D, H, W, C = x_shape
+    K1 = cgx.shape[1]
+    Do, Ho, Wo = spatial
+    gn = jnp.stack([cgx * (2.0 / (W - 1)) - 1.0,
+                    cgy * (2.0 / (H - 1)) - 1.0,
+                    cgz * (2.0 / (D - 1)) - 1.0], axis=-1)
+    return gn.reshape(N, K1, Do, Ho, Wo, 3)
+
+
+def _multi_px_fwd(x, cgx, cgy, cgz, spatial):
     N, D, H, W, C = x.shape
-    Do, Ho, Wo = grids.shape[2:5]
-    rows3 = _rows3(x)
-    cgx, cgy, cgz, NV = _multi_coords(x, grids)
-    out = warp_mm_fwd_multi_pallas(rows3, cgx, cgy, cgz, D=D, H=H, W=W, C=C,
-                                   K1=K1, VB=plan["fwd"])
+    K1, NV = cgx.shape[1], cgx.shape[2]
+    Do, Ho, Wo = spatial
+    plan = _multi_plan(x, K1, NV)
+    if plan is None:
+        grids = _grids_from_pixel_coords(x.shape, cgx, cgy, cgz, spatial)
+        return _multi_fallback_fwd(x, grids, K1), (x, cgx, cgy, cgz)
+    from facevae_tpu.ops.pallas.warp_mm import warp_mm_fwd_multi_pallas
+    out = warp_mm_fwd_multi_pallas(_rows3(x), cgx, cgy, cgz, D=D, H=H, W=W,
+                                   C=C, K1=K1, VB=plan["fwd"])
     out = out.reshape(N, Do, Ho, Wo, K1 * C).astype(x.dtype)
     out = checkpoint_name(out, "warp_out")
-    return out, (x, grids)
+    return out, (x, cgx, cgy, cgz)
 
 
-def _multi_bwd(K1, res, g):
-    x, grids = res
+def _multi_px_bwd(spatial, res, g):
+    x, cgx, cgy, cgz = res
     N, D, H, W, C = x.shape
-    Do, Ho, Wo = grids.shape[2:5]
-    plan = _multi_plan(x, grids)
+    K1, NV = cgx.shape[1], cgx.shape[2]
+    Do, Ho, Wo = spatial
+    plan = _multi_plan(x, K1, NV)
     if (plan is None or plan["dgrid"] is None or plan["drows"] is None):
-        # route through the per-(n,k) backward
+        # per-(n,k) backward; its dgrid cotangent is in NORMALIZED units ->
+        # convert back to pixel-coordinate cotangents
+        grids = _grids_from_pixel_coords(x.shape, cgx, cgy, cgz, spatial)
         gk = g.reshape(N, Do, Ho, Wo, K1, C).transpose(0, 4, 1, 2, 3, 5)
         dx, dgrid = _dispatch_bwd(
             K1, (x, grids.reshape(N * K1, Do, Ho, Wo, 3)),
             gk.reshape(N * K1, Do, Ho, Wo, C))
-        return dx, dgrid.reshape(grids.shape)
+        dgrid = dgrid.reshape(N, K1, NV, 3)
+        return (dx, dgrid[..., 0] * (2.0 / (W - 1)),
+                dgrid[..., 1] * (2.0 / (H - 1)),
+                dgrid[..., 2] * (2.0 / (D - 1)))
     from facevae_tpu.ops.pallas.warp_mm import warp_mm_bwd_multi_pallas
-    rows3 = _rows3(x)
-    cgx, cgy, cgz, NV = _multi_coords(x, grids)
     gout = g.reshape(N, NV, K1 * C).astype(jnp.float32)
     drows, dgx, dgy, dgz = warp_mm_bwd_multi_pallas(
-        rows3, cgx, cgy, cgz, gout, D=D, H=H, W=W, C=C, K1=K1,
+        _rows3(x), cgx, cgy, cgz, gout, D=D, H=H, W=W, C=C, K1=K1,
         VB_DGRID=plan["dgrid"], VB_DROWS=plan["drows"])
     dx = drows.reshape(N, D, H, C, W).transpose(0, 1, 2, 4, 3).astype(x.dtype)
-    dgrid = jnp.stack([dgx * ((W - 1) * 0.5), dgy * ((H - 1) * 0.5),
-                       dgz * ((D - 1) * 0.5)], axis=-1)
-    return dx, dgrid.reshape(grids.shape).astype(grids.dtype)
+    return dx, dgx, dgy, dgz
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def warp_multi_pixel(x: jnp.ndarray, cgx: jnp.ndarray, cgy: jnp.ndarray,
+                     cgz: jnp.ndarray, spatial) -> jnp.ndarray:
+    """Fused multi-grid warp with PIXEL-space coordinate planes.
+
+    x [N,D,H,W,C]; cgx/cgy/cgz [N,K1,NV] pixel coords (x in [0,W-1] etc.,
+    align_corners=True semantics); spatial = (Do,Ho,Wo) with NV = Do*Ho*Wo.
+    Returns [N,Do,Ho,Wo,K1*C] (k-major fused channels).
+
+    Taking coordinate PLANES instead of a packed [...,3] grid keeps every HBM
+    array's minor dim wide (a trailing dim of 3 is tile-padded 42x), and the
+    VJP emits the same planes — the K1 motion fields can be constructed
+    analytically from keypoints without ever materializing [N,K1,D,H,W,3]
+    (ops/motion.sparse_motion_pixel_coords)."""
+    return _multi_px_fwd(x, cgx, cgy, cgz, spatial)[0]
+
+
+warp_multi_pixel.defvjp(
+    lambda x, cgx, cgy, cgz, spatial: _multi_px_fwd(x, cgx, cgy, cgz, spatial),
+    _multi_px_bwd)
+
+
 def grid_sample_3d_multi(x: jnp.ndarray, grids: jnp.ndarray,
                          K1: int) -> jnp.ndarray:
     """Warp ONE source volume by K1 grids, emitting the fused k-major layout.
 
     x [N,D,H,W,C]; grids [N,K1,Do,Ho,Wo,3] -> [N,Do,Ho,Wo,K1*C] where channel
     k*C+c is grid k's warp of channel c — exactly the packing MFE's conv input
-    uses (models/mfe.py), so no boundary transposes exist on the TPU hot path
-    (the k-looped Pallas kernels read/write this layout directly)."""
-    return _multi_fwd(x, grids, K1)[0]
-
-
-grid_sample_3d_multi.defvjp(lambda x, grids, K1: _multi_fwd(x, grids, K1),
-                            _multi_bwd)
+    uses (models/mfe.py).  Thin differentiable wrapper over warp_multi_pixel;
+    callers that can produce coordinate planes directly should (grids' [...,3]
+    layout is tile-hostile)."""
+    N = x.shape[0]
+    spatial = grids.shape[2:5]
+    cgx, cgy, cgz, NV = _multi_coords(x, grids)
+    return warp_multi_pixel(x, cgx, cgy, cgz, spatial)
 
 
 def _bwd_pallas_ok(x, grid, grids_per_source):

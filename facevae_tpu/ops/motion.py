@@ -98,3 +98,61 @@ def create_deformed_source_fused(fs: jnp.ndarray,
     kernels read/write this layout with zero boundary transposes)."""
     K1 = sparse_motions.shape[1]
     return grid_sample_3d_multi(fs, sparse_motions, K1)
+
+
+# ---------------------------------------------------------------------------
+# Analytic sparse-motion construction.  Each candidate motion is affine in the
+# voxel position: motion_k(p) = jac(p - kp_d_k) + kp_s_k  (identity for k=0),
+# so the [N,K+1,D,H,W,3] tensor never needs to exist — its trailing dim of 3
+# is tile-padded 42x on TPU and cost >100ms/step in construction, the
+# deformation einsum, and the warp-gradient stack.  Instead:
+#   - the warp consumes per-axis PIXEL coordinate planes [N,K+1,NV] built
+#     from ONE [3,NV] jac product plus per-k scalar offsets;
+#   - the mask-blended deformation reduces to mask-weighted KEYPOINT tables:
+#       sum_k m_k motion_k = m_0 p + (sum_{k>=1} m_k)(jac p) + sum m_k b_k
+#     with b_k = kp_s_k - jac kp_d_k  (a [N,K,3] table).
+# ---------------------------------------------------------------------------
+
+
+def motion_affine_params(kp_s: jnp.ndarray, kp_d: jnp.ndarray,
+                         Rs: jnp.ndarray, Rd: jnp.ndarray):
+    """jac [N,3,3] = Rs Rd^-1 and offsets b [N,K,3] = kp_s - jac kp_d
+    (fp32; reference utils.py:152-165 semantics)."""
+    kp_s = kp_s.astype(jnp.float32)
+    kp_d = kp_d.astype(jnp.float32)
+    jac = jnp.matmul(Rs.astype(jnp.float32),
+                     jnp.linalg.inv(Rd.astype(jnp.float32)))
+    b = kp_s - jnp.einsum("nij,nkj->nki", jac, kp_d)
+    return jac, b
+
+
+def sparse_motion_pixel_coords(spatial, jac: jnp.ndarray, b: jnp.ndarray):
+    """Pixel-space coordinate planes (cgx, cgy, cgz) [N,K+1,NV] for
+    warp_multi_pixel, channel 0 = identity.  Differentiable in (jac, b)."""
+    D, H, W = spatial
+    N, K, _ = b.shape
+    NV = D * H * W
+    grid = make_coordinate_grid_3d((D, H, W), dtype=jnp.float32).reshape(NV, 3)
+    q = jnp.einsum("nij,vj->niv", jac, grid)                    # [N,3,NV]
+    scale = jnp.asarray([(W - 1) * 0.5, (H - 1) * 0.5, (D - 1) * 0.5],
+                        jnp.float32)
+
+    def axis(a):
+        ident = (grid[:, a] + 1.0) * scale[a]                   # [NV]
+        moved = (q[:, None, a, :] + (b[..., a] + 1.0)[..., None]) * scale[a]
+        return jnp.concatenate(
+            [jnp.broadcast_to(ident[None, None], (N, 1, NV)), moved], axis=1)
+
+    return axis(0), axis(1), axis(2)
+
+
+def blend_deformation(mask: jnp.ndarray, jac: jnp.ndarray, b: jnp.ndarray):
+    """deformation [N,D,H,W,3] = sum_k mask_k * motion_k without the
+    [N,K+1,D,H,W,3] tensor; mask [N,D,H,W,K+1] (softmaxed, fp32)."""
+    N, D, H, W, K1 = mask.shape
+    grid = make_coordinate_grid_3d((D, H, W), dtype=jnp.float32)  # [D,H,W,3]
+    jacp = jnp.einsum("nij,dhwj->ndhwi", jac, grid)
+    m0 = mask[..., 0:1]
+    rest = mask[..., 1:]
+    offsets = jnp.einsum("ndhwk,nkc->ndhwc", rest, b)
+    return m0 * grid[None] + rest.sum(-1, keepdims=True) * jacp + offsets

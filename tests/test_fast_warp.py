@@ -90,8 +90,11 @@ def test_grid_sample_3d_multi_fused_layout(rng):
     ref = grid_sample_3d_fast(x, grids.reshape(N * K1, D, H, W, 3), K1)
     ref = ref.reshape(N, K1, D, H, W, C).transpose(0, 2, 3, 4, 1, 5) \
         .reshape(N, D, H, W, K1 * C)
+    # the wrapper routes through pixel-coordinate planes; the CPU fallback's
+    # pixel->norm->pixel roundtrip adds ~1 ulp of coordinate noise (~1e-6 in
+    # value through the tent slope)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=2e-5, atol=5e-6)
 
     def loss_fused(x, g):
         return (grid_sample_3d_multi(x, g, K1) ** 2).sum()

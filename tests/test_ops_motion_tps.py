@@ -103,3 +103,39 @@ def test_tps_vs_torch_oracle(rng):
                                  tgrid, align_corners=True, padding_mode="reflection")
     np.testing.assert_allclose(got_frame, np.transpose(expect_frame.numpy(), (0, 2, 3, 1)),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_analytic_motion_equivalence(rng):
+    """sparse_motion_pixel_coords/blend_deformation equal the materialized
+    create_sparse_motions construction (same math, no [N,K+1,D,H,W,3])."""
+    from facevae_tpu.ops.motion import (
+        create_sparse_motions, motion_affine_params,
+        sparse_motion_pixel_coords, blend_deformation)
+
+    N, D, H, W, K = 2, 4, 6, 6, 3
+    fs = jnp.zeros((N, D, H, W, 2), jnp.float32)
+    kp_s = jnp.asarray(rng.rand(N, K, 3) * 1.6 - 0.8, jnp.float32)
+    kp_d = jnp.asarray(rng.rand(N, K, 3) * 1.6 - 0.8, jnp.float32)
+    q, _ = np.linalg.qr(rng.randn(N, 3, 3))
+    q2, _ = np.linalg.qr(rng.randn(N, 3, 3))
+    Rs, Rd = jnp.asarray(q, jnp.float32), jnp.asarray(q2, jnp.float32)
+
+    sm = create_sparse_motions(fs, kp_s, kp_d, Rs, Rd)     # [N,K+1,D,H,W,3]
+    jac, b = motion_affine_params(kp_s, kp_d, Rs, Rd)
+    cgx, cgy, cgz = sparse_motion_pixel_coords((D, H, W), jac, b)
+
+    NV = D * H * W
+    sm_flat = np.asarray(sm).reshape(N, K + 1, NV, 3)
+    np.testing.assert_allclose(np.asarray(cgx),
+                               (sm_flat[..., 0] + 1) * (W - 1) / 2,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cgz),
+                               (sm_flat[..., 2] + 1) * (D - 1) / 2,
+                               rtol=1e-4, atol=1e-4)
+
+    logits = jnp.asarray(rng.randn(N, D, H, W, K + 1), jnp.float32)
+    mask = jax.nn.softmax(logits, axis=-1)
+    want = jnp.einsum("ndhwk,nkdhwc->ndhwc", mask, sm)
+    got = blend_deformation(mask, jac, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
