@@ -402,15 +402,18 @@ def _multi_coords(x, grids):
 
 
 def _multi_plan(x, K1, NV):
-    """Like _pallas_plan but for the k-looped kernels (fused IO adds the
-    [VB, K1*C] out/gout block to each budget)."""
+    """Block plan for the (K1 x G)-looped kernels.  Channel GROUPING: when
+    C*W exceeds the per-group budget, the volume splits into G contiguous
+    Cg-channel groups sharing each block's one-hot A matrices — this is how
+    the generator's C=32 warp (C*W=2048) fits VMEM.  The fused IO adds the
+    [VB, K1*C] f32 out/gout block to each budget."""
     import os
     if os.environ.get("FACEVAE_NO_PALLAS_WARP"):
         return None
     N, D, H, W, C = x.shape
-    DH, CW = D * H, C * W
+    DH = D * H
     if (x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu"
-            or DH % 128 != 0 or CW % 128 != 0 or (K1 * C) % 8 != 0):
+            or DH % 128 != 0 or (K1 * C) % 8 != 0):
         return None
 
     def pick(per_vb, fixed):
@@ -419,18 +422,35 @@ def _multi_plan(x, K1, NV):
                 return vb
         return None
 
-    rows_b = DH * CW * 2
     fused = K1 * C * 4                  # the [VB, K1*C] f32 out/gout block
-    # k-looped kernels measure ~2x the single-k per-VB transients (Mosaic
-    # overlaps loop iterations): fwd 22.3MB at VB=1024/MFE -> VB=512 fits
-    plan = {
-        "fwd": pick(DH * 14 + CW * 20 + fused, 2 * rows_b),
-        "dgrid": pick(DH * 22 + CW * 30 + fused, 2 * rows_b),
-        "drows": pick(DH * 14 + CW * 20 + fused, DH * CW * 4),
-    }
-    if plan["fwd"] is None:
-        return None
-    return plan
+    rows_b = DH * C * W * 2             # independent of grouping
+    for G in (1, 2, 4, 8, 16):
+        if C % G:
+            continue
+        CWg = (C // G) * W
+        if CWg % 128 != 0:
+            continue
+        # k-looped kernels measure ~2x the single-k per-VB transients (Mosaic
+        # overlaps loop iterations): fwd 22.3MB at VB=1024/MFE -> VB=512 fits
+        plan = {
+            "G": G,
+            "fwd": pick(DH * 14 + CWg * 20 + fused, 2 * rows_b),
+            "dgrid": pick(DH * 22 + CWg * 30 + fused, 2 * rows_b),
+            "drows": pick(DH * 14 + CWg * 20 + fused, DH * C * W * 4),
+        }
+        if plan["fwd"] is not None and plan["dgrid"] is not None \
+                and plan["drows"] is not None:
+            return plan
+    # fall back to forward-only at the coarsest grouping that fits
+    for G in (1, 2, 4, 8, 16):
+        if C % G or ((C // G) * W) % 128 != 0:
+            continue
+        CWg = (C // G) * W
+        plan = {"G": G, "fwd": pick(DH * 14 + CWg * 20 + fused, 2 * rows_b),
+                "dgrid": None, "drows": None}
+        if plan["fwd"] is not None:
+            return plan
+    return None
 
 
 def _multi_fallback_fwd(x, grids, K1):
@@ -455,6 +475,15 @@ def _grids_from_pixel_coords(x_shape, cgx, cgy, cgz, spatial):
     return gn.reshape(N, K1, Do, Ho, Wo, 3)
 
 
+def _rows4(x, G):
+    """[N,D,H,W,C] -> G contiguous channel groups of C-major rows
+    [N, G, D*H, (C/G)*W] bf16."""
+    N, D, H, W, C = x.shape
+    Cg = C // G
+    r = x.reshape(N, D, H, W, G, Cg).transpose(0, 4, 1, 2, 5, 3)
+    return r.reshape(N, G, D * H, Cg * W).astype(jnp.bfloat16)
+
+
 def _multi_px_fwd(x, cgx, cgy, cgz, spatial):
     N, D, H, W, C = x.shape
     K1, NV = cgx.shape[1], cgx.shape[2]
@@ -464,8 +493,9 @@ def _multi_px_fwd(x, cgx, cgy, cgz, spatial):
         grids = _grids_from_pixel_coords(x.shape, cgx, cgy, cgz, spatial)
         return _multi_fallback_fwd(x, grids, K1), (x, cgx, cgy, cgz)
     from facevae_tpu.ops.pallas.warp_mm import warp_mm_fwd_multi_pallas
-    out = warp_mm_fwd_multi_pallas(_rows3(x), cgx, cgy, cgz, D=D, H=H, W=W,
-                                   C=C, K1=K1, VB=plan["fwd"])
+    G = plan["G"]
+    out = warp_mm_fwd_multi_pallas(_rows4(x, G), cgx, cgy, cgz, D=D, H=H, W=W,
+                                   Cg=C // G, K1=K1, G=G, VB=plan["fwd"])
     out = out.reshape(N, Do, Ho, Wo, K1 * C).astype(x.dtype)
     out = checkpoint_name(out, "warp_out")
     return out, (x, cgx, cgy, cgz)
@@ -490,11 +520,14 @@ def _multi_px_bwd(spatial, res, g):
                 dgrid[..., 1] * (2.0 / (H - 1)),
                 dgrid[..., 2] * (2.0 / (D - 1)))
     from facevae_tpu.ops.pallas.warp_mm import warp_mm_bwd_multi_pallas
+    G = plan["G"]
+    Cg = C // G
     gout = g.reshape(N, NV, K1 * C).astype(jnp.float32)
     drows, dgx, dgy, dgz = warp_mm_bwd_multi_pallas(
-        _rows3(x), cgx, cgy, cgz, gout, D=D, H=H, W=W, C=C, K1=K1,
+        _rows4(x, G), cgx, cgy, cgz, gout, D=D, H=H, W=W, Cg=Cg, K1=K1, G=G,
         VB_DGRID=plan["dgrid"], VB_DROWS=plan["drows"])
-    dx = drows.reshape(N, D, H, C, W).transpose(0, 1, 2, 4, 3).astype(x.dtype)
+    dx = drows.reshape(N, G, D, H, Cg, W).transpose(0, 2, 3, 5, 1, 4)
+    dx = dx.reshape(N, D, H, W, C).astype(x.dtype)
     return dx, dgx, dgy, dgz
 
 

@@ -87,129 +87,142 @@ def _seg_matrix(C, W):
 
 
 def _fwd_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, seg_ref, out_ref,
-                      *, D, H, W, C, K1):
-    rows = rows_ref[0]
+                      *, D, H, W, Cg, K1, G):
     outs = []
     for k in range(K1):
         A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
                            need_grads=False)
-        S = jnp.dot(A, rows, preferred_element_type=jnp.float32)    # [VB, CW]
-        wx, _ = _x_weights(gx_ref[0, k, :], W, C * W, need_grad=False)
-        outs.append(jnp.dot((S * wx).astype(jnp.bfloat16), seg_ref[:],
-                            preferred_element_type=jnp.float32))    # [VB, C]
-    out_ref[0] = jnp.concatenate(outs, axis=-1)                     # [VB, K1*C]
+        wx, _ = _x_weights(gx_ref[0, k, :], W, Cg * W, need_grad=False)
+        for g in range(G):
+            S = jnp.dot(A, rows_ref[0, g], preferred_element_type=jnp.float32)
+            outs.append(jnp.dot((S * wx).astype(jnp.bfloat16), seg_ref[:],
+                                preferred_element_type=jnp.float32))  # [VB, Cg]
+    out_ref[0] = jnp.concatenate(outs, axis=-1)               # [VB, K1*G*Cg]
 
 
-def warp_mm_fwd_multi_pallas(rows3, cgx, cgy, cgz, *, D, H, W, C, K1, VB):
-    """rows3 [N, DH, CW] bf16; coords [N, K1, NV] f32.
-    Returns [N, NV, K1*C] f32 (k-major channels)."""
-    N, DH, CW = rows3.shape
+def warp_mm_fwd_multi_pallas(rows4, cgx, cgy, cgz, *, D, H, W, Cg, K1, G, VB):
+    """rows4 [N, G, DH, Cg*W] bf16 (G contiguous channel groups); coords
+    [N, K1, NV] f32.  Returns [N, NV, K1*G*Cg] f32 — channel (k, g, cg)
+    ordering, i.e. k-major with the original channel order inside each k."""
+    N, _, DH, CWg = rows4.shape
     NV = cgx.shape[2]
     bpz = NV // VB
     nb = N * bpz
-    seg = _seg_matrix(C, W)
+    seg = _seg_matrix(Cg, W)
 
     cspec = pl.BlockSpec((1, K1, VB), lambda b, bpz=bpz: (b // bpz, 0, b % bpz),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_fwd_multi_kernel, D=D, H=H, W=W, C=C, K1=K1)
+    kernel = functools.partial(_fwd_multi_kernel, D=D, H=H, W=W, Cg=Cg,
+                               K1=K1, G=G)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((N, NV, K1 * C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, NV, K1 * G * Cg), jnp.float32),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, DH, CW), lambda b, bpz=bpz: (b // bpz, 0, 0),
+            pl.BlockSpec((1, G, DH, CWg), lambda b, bpz=bpz: (b // bpz, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             cspec, cspec, cspec,
-            pl.BlockSpec((CW, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CWg, Cg), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, VB, K1 * C),
+        out_specs=pl.BlockSpec((1, VB, K1 * G * Cg),
                                lambda b, bpz=bpz: (b // bpz, b % bpz, 0),
                                memory_space=pltpu.VMEM),
-    )(rows3, cgx, cgy, cgz, seg)
+    )(rows4, cgx, cgy, cgz, seg)
 
 
 def _dgrid_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
-                        dgx_ref, dgy_ref, dgz_ref, *, D, H, W, C, K1):
-    rows = rows_ref[0]
-    gout = gout_ref[0]                                              # [VB, K1*C]
+                        dgx_ref, dgy_ref, dgz_ref, *, D, H, W, Cg, K1, G):
+    gout = gout_ref[0]                                          # [VB, K1*G*Cg]
     dgxs, dgys, dgzs = [], [], []
     for k in range(K1):
         A, Ay, Az = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
                              need_grads=True)
-        S = jnp.dot(A, rows, preferred_element_type=jnp.float32)
-        Sy = jnp.dot(Ay, rows, preferred_element_type=jnp.float32)
-        Sz = jnp.dot(Az, rows, preferred_element_type=jnp.float32)
-        wx, dwx = _x_weights(gx_ref[0, k, :], W, C * W)
-        gout_rep = jnp.dot(gout[:, k * C:(k + 1) * C].astype(jnp.bfloat16),
-                           segT_ref[:], preferred_element_type=jnp.float32)
-        dgxs.append(jnp.sum(S * dwx * gout_rep, axis=-1))
-        dgys.append(jnp.sum(Sy * wx * gout_rep, axis=-1))
-        dgzs.append(jnp.sum(Sz * wx * gout_rep, axis=-1))
+        wx, dwx = _x_weights(gx_ref[0, k, :], W, Cg * W)
+        ax = ay = az = 0.0
+        for g in range(G):
+            rows = rows_ref[0, g]
+            S = jnp.dot(A, rows, preferred_element_type=jnp.float32)
+            Sy = jnp.dot(Ay, rows, preferred_element_type=jnp.float32)
+            Sz = jnp.dot(Az, rows, preferred_element_type=jnp.float32)
+            lo = (k * G + g) * Cg
+            gout_rep = jnp.dot(gout[:, lo:lo + Cg].astype(jnp.bfloat16),
+                               segT_ref[:], preferred_element_type=jnp.float32)
+            ax = ax + jnp.sum(S * dwx * gout_rep, axis=-1)
+            ay = ay + jnp.sum(Sy * wx * gout_rep, axis=-1)
+            az = az + jnp.sum(Sz * wx * gout_rep, axis=-1)
+        dgxs.append(ax)
+        dgys.append(ay)
+        dgzs.append(az)
     dgx_ref[0] = jnp.stack(dgxs)                                    # [K1, VB]
     dgy_ref[0] = jnp.stack(dgys)
     dgz_ref[0] = jnp.stack(dgzs)
 
 
 def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
-                        *, D, H, W, C, K1, bpz):
+                        *, D, H, W, Cg, K1, G, bpz):
     b = pl.program_id(0)
     gout = gout_ref[0]
-    acc = jnp.zeros(drows_ref.shape[1:], jnp.float32)               # [DH, CW]
+    accs = [jnp.zeros(drows_ref.shape[2:], jnp.float32) for _ in range(G)]
     for k in range(K1):
         A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
                            need_grads=False)
-        wx, _ = _x_weights(gx_ref[0, k, :], W, C * W, need_grad=False)
-        gout_rep = jnp.dot(gout[:, k * C:(k + 1) * C].astype(jnp.bfloat16),
-                           segT_ref[:], preferred_element_type=jnp.float32)
-        upd = (gout_rep * wx).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(A, upd, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+        wx, _ = _x_weights(gx_ref[0, k, :], W, Cg * W, need_grad=False)
+        for g in range(G):
+            lo = (k * G + g) * Cg
+            gout_rep = jnp.dot(gout[:, lo:lo + Cg].astype(jnp.bfloat16),
+                               segT_ref[:], preferred_element_type=jnp.float32)
+            upd = (gout_rep * wx).astype(jnp.bfloat16)
+            accs[g] = accs[g] + jax.lax.dot_general(
+                A, upd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [DH, CWg]
 
     @pl.when(b % bpz == 0)
     def _():
         drows_ref[:] = jnp.zeros_like(drows_ref)
-    drows_ref[:] += acc[None]
+    drows_ref[:] += jnp.stack(accs)[None]
 
 
-def warp_mm_bwd_multi_pallas(rows3, cgx, cgy, cgz, gout, *, D, H, W, C, K1,
+def warp_mm_bwd_multi_pallas(rows4, cgx, cgy, cgz, gout, *, D, H, W, Cg, K1, G,
                              VB_DGRID, VB_DROWS):
-    """gout [N, NV, K1*C] f32.  Returns (drows [N, DH, CW] f32,
+    """gout [N, NV, K1*G*Cg] f32.  Returns (drows [N, G, DH, CWg] f32,
     dgx, dgy, dgz [N, K1, NV] f32)."""
-    N, DH, CW = rows3.shape
+    N, _, DH, CWg = rows4.shape
     NV = cgx.shape[2]
-    segT = _seg_matrix(C, W).T                                       # [C, CW]
+    segT = _seg_matrix(Cg, W).T                                      # [Cg, CWg]
+    KC = K1 * G * Cg
 
     def specs(vb):
         bpz = NV // vb
         cspec = pl.BlockSpec((1, K1, vb), lambda b: (b // bpz, 0, b % bpz),
                              memory_space=pltpu.VMEM)
-        gspec = pl.BlockSpec((1, vb, K1 * C), lambda b: (b // bpz, b % bpz, 0),
+        gspec = pl.BlockSpec((1, vb, KC), lambda b: (b // bpz, b % bpz, 0),
                              memory_space=pltpu.VMEM)
-        rspec = pl.BlockSpec((1, DH, CW), lambda b: (b // bpz, 0, 0),
+        rspec = pl.BlockSpec((1, G, DH, CWg), lambda b: (b // bpz, 0, 0, 0),
                              memory_space=pltpu.VMEM)
         return bpz, cspec, gspec, rspec
 
     bpz, cspec, gspec, rspec = specs(VB_DGRID)
-    k1 = functools.partial(_dgrid_multi_kernel, D=D, H=H, W=W, C=C, K1=K1)
+    k1 = functools.partial(_dgrid_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1,
+                           G=G)
     dgx, dgy, dgz = pl.pallas_call(
         k1,
         out_shape=(jax.ShapeDtypeStruct((N, K1, NV), jnp.float32),) * 3,
         grid=(N * bpz,),
         in_specs=[rspec, cspec, cspec, cspec, gspec,
-                  pl.BlockSpec((C, CW), lambda b: (0, 0),
+                  pl.BlockSpec((Cg, CWg), lambda b: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(cspec,) * 3,
-    )(rows3, cgx, cgy, cgz, gout, segT)
+    )(rows4, cgx, cgy, cgz, gout, segT)
 
     bpz, cspec, gspec, rspec = specs(VB_DROWS)
-    k2 = functools.partial(_drows_multi_kernel, D=D, H=H, W=W, C=C, K1=K1,
-                           bpz=bpz)
+    k2 = functools.partial(_drows_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1,
+                           G=G, bpz=bpz)
     drows = pl.pallas_call(
         k2,
-        out_shape=jax.ShapeDtypeStruct((N, DH, CW), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, G, DH, CWg), jnp.float32),
         grid=(N * bpz,),
         in_specs=[cspec, cspec, cspec, gspec,
-                  pl.BlockSpec((C, CW), lambda b: (0, 0),
+                  pl.BlockSpec((Cg, CWg), lambda b: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=rspec,
     )(cgx, cgy, cgz, gout, segT)

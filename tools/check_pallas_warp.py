@@ -86,7 +86,7 @@ def check_multi(N, D, H, W, C, K1):
     x = jax.random.normal(key, (N, D, H, W, C), jnp.bfloat16)
     grids = jax.random.uniform(jax.random.fold_in(key, 1),
                                (N, K1, D, H, W, 3), jnp.float32, -1.1, 1.1)
-    plan = fw._multi_plan(x, grids)
+    plan = fw._multi_plan(x, K1, D * H * W)
     assert plan is not None, "multi pallas plan missing!"
     print(f"multi warp (C={C}, K1={K1}): plan {plan}")
 
@@ -123,9 +123,9 @@ def check_multi(N, D, H, W, C, K1):
 
 
 def main():
-    check(8, 16, 64, 64, 4, 16, "MFE warp (C=4, 16 grids/src)")
-    check(8, 16, 64, 64, 32, 1, "generator warp (C=32, 1 grid/src)")
-    check_multi(8, 16, 64, 64, 4, 16)
+    check_multi(8, 16, 64, 64, 4, 16)       # MFE shape (G=1)
+    check_multi(8, 16, 64, 64, 32, 1)       # generator shape (grouped, G=8)
+    check(8, 16, 64, 64, 4, 16, "single-k kernels (fallback path)")
 
 
 if __name__ == "__main__":
