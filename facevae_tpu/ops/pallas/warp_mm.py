@@ -132,6 +132,11 @@ def warp_mm_fwd_multi_pallas(rows4, cgx, cgy, cgz, *, D, H, W, Cg, K1, G, VB):
 
 def _dgrid_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
                         dgx_ref, dgy_ref, dgz_ref, *, D, H, W, Cg, K1, G):
+    """Coordinate gradients via TWO matmuls per (k,g) instead of three:
+    with U = (wx*gout)@rows^T and Ux = (dwx*gout)@rows^T (both [VB, DH]),
+      dgx = rowsum(A  . Ux)   (reassociation of rowsum(S*dwx*gout))
+      dgy = rowsum(Ay . U)    — U is SHARED by the y- and z-axis grads,
+      dgz = rowsum(Az . U)      saving one VB*DH*CW contraction per (k,g)."""
     gout = gout_ref[0]                                          # [VB, K1*G*Cg]
     dgxs, dgys, dgzs = [], [], []
     for k in range(K1):
@@ -141,15 +146,20 @@ def _dgrid_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
         ax = ay = az = 0.0
         for g in range(G):
             rows = rows_ref[0, g]
-            S = jnp.dot(A, rows, preferred_element_type=jnp.float32)
-            Sy = jnp.dot(Ay, rows, preferred_element_type=jnp.float32)
-            Sz = jnp.dot(Az, rows, preferred_element_type=jnp.float32)
             lo = (k * G + g) * Cg
             gout_rep = jnp.dot(gout[:, lo:lo + Cg].astype(jnp.bfloat16),
                                segT_ref[:], preferred_element_type=jnp.float32)
-            ax = ax + jnp.sum(S * dwx * gout_rep, axis=-1)
-            ay = ay + jnp.sum(Sy * wx * gout_rep, axis=-1)
-            az = az + jnp.sum(Sz * wx * gout_rep, axis=-1)
+            U = jax.lax.dot_general(
+                (gout_rep * wx).astype(jnp.bfloat16), rows,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [VB, DH]
+            Ux = jax.lax.dot_general(
+                (gout_rep * dwx).astype(jnp.bfloat16), rows,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ax = ax + jnp.sum(A * Ux, axis=-1)
+            ay = ay + jnp.sum(Ay * U, axis=-1)
+            az = az + jnp.sum(Az * U, axis=-1)
         dgxs.append(ax)
         dgys.append(ay)
         dgzs.append(az)
