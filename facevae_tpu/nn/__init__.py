@@ -18,8 +18,9 @@ from facevae_tpu.nn.blocks import (
     ResBlock2D, ResBlock3D,
     ResBottleneck,
 )
-from facevae_tpu.nn.elr import (LinearELR, Conv2dELR, ConvTranspose2dELR,
-                                ConvTranspose3dELR, UpSampleBlock3d)
+from facevae_tpu.nn.elr import (LinearELR, Conv2dELR, ConvTranspose1dELR,
+                                ConvTranspose2dELR, ConvTranspose3dELR,
+                                UpSampleBlock3d)
 from facevae_tpu.nn.wn import (LinearWN, Conv2dWN, ConvTranspose2dWN,
                                Conv2dUB, Conv2dWNUB, ConvTranspose2dUB,
                                ConvTranspose2dWNUB, Conv3dUB, ConvTranspose3dUB,

@@ -119,6 +119,12 @@ class _ConvTransposeELR(nn.Module):
         return _apply_act(self.act, y)
 
 
+class ConvTranspose1dELR(_ConvTransposeELR):
+    """reference models_utils.py:290-401 (1D member of the vendored family;
+    used by nothing in the reference model zoo — inventory completeness)."""
+    dim: int = 1
+
+
 class ConvTranspose2dELR(_ConvTransposeELR):
     dim: int = 2
 

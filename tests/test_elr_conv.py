@@ -56,3 +56,14 @@ def test_upsample_block3d(rng):
     v = m.init(jax.random.PRNGKey(0), x0, skip)
     y = m.apply(v, x0, skip)
     assert y.shape == (1, 4, 8, 8, 4)
+
+
+def test_conv_transpose1d_elr(rng):
+    """1D member of the ELR transpose family (models_utils.py:290)."""
+    from facevae_tpu.nn import ConvTranspose1dELR
+    x = jnp.asarray(rng.randn(2, 6, 8), jnp.float32)      # [N, W, C]
+    m = ConvTranspose1dELR(8, 4, 4, 2, 1)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 12, 4)
+    assert bool(jnp.isfinite(y).all())
