@@ -46,11 +46,17 @@ class MFE(nn.Module):
 
         heatmap = create_heatmap_representations_cl(fs_compressed, kp_s, kp_d)  # [N,D,H,W,K+1]
         # analytic motion: never materializes [N,K+1,D,H,W,3] (tile-hostile
-        # trailing dim of 3); the warp reads per-axis pixel coordinate planes
+        # trailing dim of 3); the warp reads per-axis pixel coordinate planes.
+        # k=0 is the identity warp = an exact copy of the source -> skipped
+        # in the kernel and concatenated directly (1/(K+1) less warp work)
         jac, b = motion_affine_params(kp_s, kp_d, Rs, Rd)
-        cgx, cgy, cgz = sparse_motion_pixel_coords((D, H, W), jac, b)
-        deformed = warp_multi_pixel(fs_compressed, cgx, cgy, cgz,
-                                    (D, H, W))                    # [N,D,H,W,(K+1)*C2]
+        cgx, cgy, cgz = sparse_motion_pixel_coords((D, H, W), jac, b,
+                                                   include_identity=False)
+        deformed_rest = warp_multi_pixel(fs_compressed, cgx, cgy, cgz,
+                                         (D, H, W))               # [N,D,H,W,K*C2]
+        deformed = jnp.concatenate(
+            [fs_compressed.astype(deformed_rest.dtype), deformed_rest],
+            axis=-1)                                              # [N,D,H,W,(K+1)*C2]
 
         # k-major channel packing [heat_k, deformed_k...]: both operands are
         # already voxel-major, so the interleave is a pure lane shuffle (the

@@ -412,8 +412,10 @@ def _multi_plan(x, K1, NV):
         return None
     N, D, H, W, C = x.shape
     DH = D * H
+    # no K1*C alignment needed: the fused out/gout blocks span the full
+    # channel dim (Mosaic allows block dims equal to the array dim)
     if (x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu"
-            or DH % 128 != 0 or (K1 * C) % 8 != 0):
+            or DH % 128 != 0):
         return None
 
     def pick(per_vb, fixed):

@@ -126,9 +126,15 @@ def motion_affine_params(kp_s: jnp.ndarray, kp_d: jnp.ndarray,
     return jac, b
 
 
-def sparse_motion_pixel_coords(spatial, jac: jnp.ndarray, b: jnp.ndarray):
+def sparse_motion_pixel_coords(spatial, jac: jnp.ndarray, b: jnp.ndarray,
+                               include_identity: bool = True):
     """Pixel-space coordinate planes (cgx, cgy, cgz) [N,K+1,NV] for
-    warp_multi_pixel, channel 0 = identity.  Differentiable in (jac, b)."""
+    warp_multi_pixel, channel 0 = identity.  Differentiable in (jac, b).
+
+    include_identity=False omits the k=0 row ([N,K,NV]): the identity warp
+    samples at exactly integer pixel coordinates, i.e. it's a COPY of the
+    source — callers can concatenate the source directly and skip 1/(K+1)
+    of the warp work (models/mfe.py)."""
     D, H, W = spatial
     N, K, _ = b.shape
     NV = D * H * W
@@ -138,8 +144,10 @@ def sparse_motion_pixel_coords(spatial, jac: jnp.ndarray, b: jnp.ndarray):
                         jnp.float32)
 
     def axis(a):
-        ident = (grid[:, a] + 1.0) * scale[a]                   # [NV]
         moved = (q[:, None, a, :] + (b[..., a] + 1.0)[..., None]) * scale[a]
+        if not include_identity:
+            return moved
+        ident = (grid[:, a] + 1.0) * scale[a]                   # [NV]
         return jnp.concatenate(
             [jnp.broadcast_to(ident[None, None], (N, 1, NV)), moved], axis=1)
 
