@@ -26,6 +26,22 @@ enable_compilation_cache()
 import numpy as np
 import pytest
 
+# Modules whose tests avoid big XLA compiles (pure ops / layer oracles / data
+# plumbing): `pytest -m fast` is the <2-minute verify loop.  Everything not
+# marked `slow` is the default tier; `slow` adds reference-parity and other
+# heavy compiles.
+_FAST_MODULES = {
+    "test_ops_geometry", "test_ops_sampling", "test_ops_motion_tps",
+    "test_nn_layers", "test_elr_conv", "test_wn_layers",
+    "test_rotations_embedder", "test_data", "test_load_videos",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():
