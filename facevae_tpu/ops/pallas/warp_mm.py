@@ -172,7 +172,14 @@ def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
                         *, D, H, W, Cg, K1, G, bpz):
     b = pl.program_id(0)
     gout = gout_ref[0]
-    accs = [jnp.zeros(drows_ref.shape[2:], jnp.float32) for _ in range(G)]
+
+    # accumulate straight into the (VMEM-resident, revisited) output block:
+    # G separate register accumulators would add G*DH*CWg*4 bytes of stack on
+    # top of the block itself (measured 16.12M > 16M at the generator shape)
+    @pl.when(b % bpz == 0)
+    def _():
+        drows_ref[:] = jnp.zeros_like(drows_ref)
+
     for k in range(K1):
         A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
                            need_grads=False)
@@ -182,14 +189,9 @@ def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
             gout_rep = jnp.dot(gout[:, lo:lo + Cg].astype(jnp.bfloat16),
                                segT_ref[:], preferred_element_type=jnp.float32)
             upd = (gout_rep * wx).astype(jnp.bfloat16)
-            accs[g] = accs[g] + jax.lax.dot_general(
+            drows_ref[0, g] += jax.lax.dot_general(
                 A, upd, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)              # [DH, CWg]
-
-    @pl.when(b % bpz == 0)
-    def _():
-        drows_ref[:] = jnp.zeros_like(drows_ref)
-    drows_ref[:] += jnp.stack(accs)[None]
 
 
 def warp_mm_bwd_multi_pallas(rows4, cgx, cgy, cgz, gout, *, D, H, W, Cg, K1, G,
