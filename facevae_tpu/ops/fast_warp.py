@@ -424,8 +424,8 @@ def _multi_plan(x, K1, NV):
                 return vb
         return None
 
-    fused = K1 * C * 4                  # the [VB, K1*C] f32 out/gout block
-    rows_b = DH * C * W * 2             # independent of grouping
+    fused = K1 * C * 4                  # the fwd [VB, K1*C] f32 out block
+    rows_b = DH * C * W * 2             # whole-volume rows (fwd reads all G)
     for G in (1, 2, 4, 8, 16):
         if C % G:
             continue
@@ -433,12 +433,17 @@ def _multi_plan(x, K1, NV):
         if CWg % 128 != 0:
             continue
         # k-looped kernels measure ~2x the single-k per-VB transients (Mosaic
-        # overlaps loop iterations): fwd 22.3MB at VB=1024/MFE -> VB=512 fits
+        # overlaps loop iterations): fwd 22.3MB at VB=1024/MFE -> VB=512 fits.
+        # The backward kernels run a (N, G, bpz) grid: their rows/gout/out
+        # blocks cover ONE channel group (double-buffered by Mosaic), so
+        # larger G shrinks their fixed cost instead of growing the stack.
+        fused_g = K1 * (C // G) * 4     # the bwd [VB, K1*Cg] f32 gout block
+        rows_g = DH * CWg * 2
         plan = {
             "G": G,
             "fwd": pick(DH * 14 + CWg * 20 + fused, 2 * rows_b),
-            "dgrid": pick(DH * 22 + CWg * 30 + fused, 2 * rows_b),
-            "drows": pick(DH * 14 + CWg * 20 + fused, DH * C * W * 4),
+            "dgrid": pick(DH * 22 + CWg * 30 + fused_g, 2 * rows_g),
+            "drows": pick(DH * 14 + CWg * 20 + fused_g, 2 * DH * CWg * 4),
         }
         if plan["fwd"] is not None and plan["dgrid"] is not None \
                 and plan["drows"] is not None:
@@ -553,6 +558,28 @@ def warp_multi_pixel(x: jnp.ndarray, cgx: jnp.ndarray, cgy: jnp.ndarray,
 warp_multi_pixel.defvjp(
     lambda x, cgx, cgy, cgz, spatial: _multi_px_fwd(x, cgx, cgy, cgz, spatial),
     _multi_px_bwd)
+
+
+def warp_single(x: jnp.ndarray, deformation: jnp.ndarray) -> jnp.ndarray:
+    """One-grid warp of x [N,D,H,W,C] by a normalized [-1,1] grid
+    [N,Do,Ho,Wo,3] -> [N,Do,Ho,Wo,C].
+
+    Dispatch: the grouped Pallas multi path (pixel coordinate planes) when its
+    plan fits; otherwise grid_sample_3d_fast DIRECTLY on the normalized grid —
+    the fp32/fallback case never round-trips through pixel coordinates, so it
+    stays bit-exact vs torch grid_sample (the pixel round trip adds ~1 ulp
+    coordinate noise)."""
+    N, D, H, W, C = x.shape
+    spatial = deformation.shape[1:4]
+    NV = spatial[0] * spatial[1] * spatial[2]
+    if _multi_plan(x, 1, NV) is None:
+        return grid_sample_3d_fast(x, deformation, 1)
+    dflat = deformation.astype(jnp.float32).reshape(N, 1, NV, 3)
+    return warp_multi_pixel(x,
+                            (dflat[..., 0] + 1.0) * ((W - 1) * 0.5),
+                            (dflat[..., 1] + 1.0) * ((H - 1) * 0.5),
+                            (dflat[..., 2] + 1.0) * ((D - 1) * 0.5),
+                            spatial)
 
 
 def grid_sample_3d_multi(x: jnp.ndarray, grids: jnp.ndarray,

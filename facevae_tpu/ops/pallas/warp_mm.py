@@ -8,8 +8,12 @@ warp cost (profiled: ~0.34ms of each ~0.52ms warp fusion is A bytes).  Here A
 kernel in VMEM and fed straight to the MXU; HBM sees only coords in and
 values out (~30B/voxel).
 
-Numerics are identical to the XLA formulation (same fp32 weight products
-rounded to bf16, same fp32 accumulation); the XLA path remains the fallback
+Numerics are CLOSE but not bit-identical to the XLA formulation: these
+kernels round the x-weighted products (S*wx, gout_rep*wx / gout_rep*dwx) to
+bf16 before their MXU contractions, whereas the XLA path (_fwd_mm/_bwd_mm)
+keeps those products and the W-axis reduction in fp32.  The agreement is
+guarded by the 2-3% tolerances in tools/check_pallas_warp.py, on par with the
+bf16 activation noise this path serves.  The XLA path remains the fallback
 for CPU tests / odd shapes and is the reference in tests/test_fast_warp.py.
 
 Layout contract (matches fast_warp._mm_prepare):
@@ -131,52 +135,54 @@ def warp_mm_fwd_multi_pallas(rows4, cgx, cgy, cgz, *, D, H, W, Cg, K1, G, VB):
 
 
 def _dgrid_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
-                        dgx_ref, dgy_ref, dgz_ref, *, D, H, W, Cg, K1, G):
-    """Coordinate gradients via TWO matmuls per (k,g) instead of three:
-    with U = (wx*gout)@rows^T and Ux = (dwx*gout)@rows^T (both [VB, DH]),
+                        dgx_ref, dgy_ref, dgz_ref, *, D, H, W, Cg, K1):
+    """One (n, g, z) grid step: coordinate-gradient PARTIALS from channel
+    group g only (the G partials are summed outside the kernel — an XLA add
+    over tiny [G,N,K1,NV] arrays).  Coordinate gradients via TWO matmuls per
+    k instead of three: with U = (wx*gout)@rows^T and Ux = (dwx*gout)@rows^T
+    (both [VB, DH]),
       dgx = rowsum(A  . Ux)   (reassociation of rowsum(S*dwx*gout))
       dgy = rowsum(Ay . U)    — U is SHARED by the y- and z-axis grads,
-      dgz = rowsum(Az . U)      saving one VB*DH*CW contraction per (k,g)."""
-    gout = gout_ref[0]                                          # [VB, K1*G*Cg]
+      dgz = rowsum(Az . U)      saving one VB*DH*CWg contraction per k."""
+    rows = rows_ref[0, 0]                                       # [DH, CWg]
+    gout = gout_ref[0, 0]                                       # [VB, K1*Cg]
     dgxs, dgys, dgzs = [], [], []
     for k in range(K1):
         A, Ay, Az = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
                              need_grads=True)
         wx, dwx = _x_weights(gx_ref[0, k, :], W, Cg * W)
-        ax = ay = az = 0.0
-        for g in range(G):
-            rows = rows_ref[0, g]
-            lo = (k * G + g) * Cg
-            gout_rep = jnp.dot(gout[:, lo:lo + Cg].astype(jnp.bfloat16),
-                               segT_ref[:], preferred_element_type=jnp.float32)
-            U = jax.lax.dot_general(
-                (gout_rep * wx).astype(jnp.bfloat16), rows,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)              # [VB, DH]
-            Ux = jax.lax.dot_general(
-                (gout_rep * dwx).astype(jnp.bfloat16), rows,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ax = ax + jnp.sum(A * Ux, axis=-1)
-            ay = ay + jnp.sum(Ay * U, axis=-1)
-            az = az + jnp.sum(Az * U, axis=-1)
-        dgxs.append(ax)
-        dgys.append(ay)
-        dgzs.append(az)
-    dgx_ref[0] = jnp.stack(dgxs)                                    # [K1, VB]
-    dgy_ref[0] = jnp.stack(dgys)
-    dgz_ref[0] = jnp.stack(dgzs)
+        gout_rep = jnp.dot(gout[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16),
+                           segT_ref[:], preferred_element_type=jnp.float32)
+        U = jax.lax.dot_general(
+            (gout_rep * wx).astype(jnp.bfloat16), rows,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [VB, DH]
+        Ux = jax.lax.dot_general(
+            (gout_rep * dwx).astype(jnp.bfloat16), rows,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dgxs.append(jnp.sum(A * Ux, axis=-1))
+        dgys.append(jnp.sum(Ay * U, axis=-1))
+        dgzs.append(jnp.sum(Az * U, axis=-1))
+    dgx_ref[0, 0] = jnp.stack(dgxs)                                 # [K1, VB]
+    dgy_ref[0, 0] = jnp.stack(dgys)
+    dgz_ref[0, 0] = jnp.stack(dgzs)
 
 
 def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
-                        *, D, H, W, Cg, K1, G, bpz):
-    b = pl.program_id(0)
-    gout = gout_ref[0]
+                        *, D, H, W, Cg, K1):
+    """One (n, g, z) grid step: scatter-as-matmul into group g's row block.
 
-    # accumulate straight into the (VMEM-resident, revisited) output block:
-    # G separate register accumulators would add G*DH*CWg*4 bytes of stack on
-    # top of the block itself (measured 16.12M > 16M at the generator shape)
-    @pl.when(b % bpz == 0)
+    The output block covers ONE channel group ((1,1,DH,CWg), revisited
+    consecutively over the z steps) — a block spanning all G groups measured
+    16.12M scoped vmem at the generator shape (G=4) and cannot fit; per-group
+    blocks also let the voxel block grow.  Accumulates straight into the
+    VMEM-resident output ref (a [DH,CWg] register accumulator would add its
+    f32 size to the stack on top of the block itself)."""
+    z = pl.program_id(2)
+    gout = gout_ref[0, 0]                                       # [VB, K1*Cg]
+
+    @pl.when(z == 0)
     def _():
         drows_ref[:] = jnp.zeros_like(drows_ref)
 
@@ -184,60 +190,67 @@ def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
         A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
                            need_grads=False)
         wx, _ = _x_weights(gx_ref[0, k, :], W, Cg * W, need_grad=False)
-        for g in range(G):
-            lo = (k * G + g) * Cg
-            gout_rep = jnp.dot(gout[:, lo:lo + Cg].astype(jnp.bfloat16),
-                               segT_ref[:], preferred_element_type=jnp.float32)
-            upd = (gout_rep * wx).astype(jnp.bfloat16)
-            drows_ref[0, g] += jax.lax.dot_general(
-                A, upd, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # [DH, CWg]
+        gout_rep = jnp.dot(gout[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16),
+                           segT_ref[:], preferred_element_type=jnp.float32)
+        upd = (gout_rep * wx).astype(jnp.bfloat16)
+        drows_ref[0, 0] += jax.lax.dot_general(
+            A, upd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [DH, CWg]
 
 
 def warp_mm_bwd_multi_pallas(rows4, cgx, cgy, cgz, gout, *, D, H, W, Cg, K1, G,
                              VB_DGRID, VB_DROWS):
     """gout [N, NV, K1*G*Cg] f32.  Returns (drows [N, G, DH, CWg] f32,
-    dgx, dgy, dgz [N, K1, NV] f32)."""
+    dgx, dgy, dgz [N, K1, NV] f32).
+
+    Grid is (N, G, bpz) with the voxel axis fastest: each step touches one
+    channel group's rows/gout slice, so no block ever spans all G groups (the
+    former single-axis grid OOM'd scoped vmem at the generator shape).  gout
+    is relaid g-major ([N,G,NV,K1*Cg]) so the per-(k,g) column slices are
+    static."""
     N, _, DH, CWg = rows4.shape
     NV = cgx.shape[2]
     segT = _seg_matrix(Cg, W).T                                      # [Cg, CWg]
-    KC = K1 * G * Cg
+    KCg = K1 * Cg
+    # channel order in gout is (k, g, cg) — k-major; the kernels slice one g
+    gout_g = (gout.reshape(N, NV, K1, G, Cg).transpose(0, 3, 1, 2, 4)
+              .reshape(N, G, NV, KCg))
 
-    def specs(vb):
-        bpz = NV // vb
-        cspec = pl.BlockSpec((1, K1, vb), lambda b: (b // bpz, 0, b % bpz),
-                             memory_space=pltpu.VMEM)
-        gspec = pl.BlockSpec((1, vb, KC), lambda b: (b // bpz, b % bpz, 0),
-                             memory_space=pltpu.VMEM)
-        rspec = pl.BlockSpec((1, G, DH, CWg), lambda b: (b // bpz, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
-        return bpz, cspec, gspec, rspec
+    rspec = pl.BlockSpec((1, 1, DH, CWg), lambda n, g, z: (n, g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((Cg, CWg), lambda n, g, z: (0, 0),
+                            memory_space=pltpu.VMEM)
 
-    bpz, cspec, gspec, rspec = specs(VB_DGRID)
-    k1 = functools.partial(_dgrid_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1,
-                           G=G)
-    dgx, dgy, dgz = pl.pallas_call(
+    def cspec(vb):
+        return pl.BlockSpec((1, K1, vb), lambda n, g, z: (n, 0, z),
+                            memory_space=pltpu.VMEM)
+
+    def gspec(vb):
+        return pl.BlockSpec((1, 1, vb, KCg), lambda n, g, z: (n, g, z, 0),
+                            memory_space=pltpu.VMEM)
+
+    k1 = functools.partial(_dgrid_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1)
+    dgp = pl.pallas_call(
         k1,
-        out_shape=(jax.ShapeDtypeStruct((N, K1, NV), jnp.float32),) * 3,
-        grid=(N * bpz,),
-        in_specs=[rspec, cspec, cspec, cspec, gspec,
-                  pl.BlockSpec((Cg, CWg), lambda b: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(cspec,) * 3,
-    )(rows4, cgx, cgy, cgz, gout, segT)
+        out_shape=(jax.ShapeDtypeStruct((G, N, K1, NV), jnp.float32),) * 3,
+        grid=(N, G, NV // VB_DGRID),
+        in_specs=[rspec, cspec(VB_DGRID), cspec(VB_DGRID), cspec(VB_DGRID),
+                  gspec(VB_DGRID), seg_spec],
+        out_specs=(pl.BlockSpec((1, 1, K1, VB_DGRID),
+                                lambda n, g, z: (g, n, 0, z),
+                                memory_space=pltpu.VMEM),) * 3,
+    )(rows4, cgx, cgy, cgz, gout_g, segT)
+    dgx, dgy, dgz = (p.sum(axis=0) for p in dgp)
 
-    bpz, cspec, gspec, rspec = specs(VB_DROWS)
-    k2 = functools.partial(_drows_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1,
-                           G=G, bpz=bpz)
+    k2 = functools.partial(_drows_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1)
     drows = pl.pallas_call(
         k2,
         out_shape=jax.ShapeDtypeStruct((N, G, DH, CWg), jnp.float32),
-        grid=(N * bpz,),
-        in_specs=[cspec, cspec, cspec, gspec,
-                  pl.BlockSpec((Cg, CWg), lambda b: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        grid=(N, G, NV // VB_DROWS),
+        in_specs=[cspec(VB_DROWS), cspec(VB_DROWS), cspec(VB_DROWS),
+                  gspec(VB_DROWS), seg_spec],
         out_specs=rspec,
-    )(cgx, cgy, cgz, gout, segT)
+    )(cgx, cgy, cgz, gout_g, segT)
     return drows, dgx, dgy, dgz
 
 
