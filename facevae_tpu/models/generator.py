@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from facevae_tpu.nn import Conv, ConvBlock, ResBlock2D, UpBlock2D
-from facevae_tpu.ops.fast_warp import warp_multi_pixel
+from facevae_tpu.ops.fast_warp import warp_single
 
 
 class Generator(nn.Module):
@@ -29,16 +29,12 @@ class Generator(nn.Module):
     def __call__(self, fs, deformation, occlusion, train: bool = True):
         ax = self.axis_name
         N, D, H, W, C = fs.shape
-        # single-grid warp via the grouped Pallas path (pixel coordinate
-        # planes; C*W=2048 runs as 8 channel groups sharing each block's
-        # one-hot matrices — see ops/fast_warp._multi_plan)
-        dflat = deformation.astype(jnp.float32).reshape(N, 1, D * H * W, 3)
-        fs = warp_multi_pixel(fs,
-                              (dflat[..., 0] + 1.0) * ((W - 1) * 0.5),
-                              (dflat[..., 1] + 1.0) * ((H - 1) * 0.5),
-                              (dflat[..., 2] + 1.0) * ((D - 1) * 0.5),
-                              (D, H, W))
-        fs = fs.transpose(0, 2, 3, 4, 1).reshape(N, H, W, C * D)
+        # single-grid warp: grouped Pallas path on TPU bf16 (C*W=2048 runs as
+        # 8 channel groups sharing each block's one-hot matrices), exact
+        # grid_sample on the fp32/fallback path — see ops/fast_warp.warp_single
+        fs = warp_single(fs, deformation)
+        fs = fs.reshape(N, D, H, W, C).transpose(0, 2, 3, 4, 1).reshape(
+            N, H, W, C * D)
         fs = ConvBlock("CNA", C * D, self.up_seq[0], 3, 1, 1, self.use_weight_norm,
                        dim=2, nonlinearity_type="leakyrelu", axis_name=ax,
                        name="in_conv")(fs, train)
