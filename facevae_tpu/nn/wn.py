@@ -246,21 +246,36 @@ def dilate2d(x, kernel_size: int, stride: int = 1, padding: int = 0):
     return jnp.clip(y, max=1.0)
 
 
-def fuse_wn(params: Dict[str, Any]) -> Dict[str, Any]:
+def fuse_wn(params: Dict[str, Any],
+            transpose_paths: Sequence[Tuple[str, ...]] = ()) -> Dict[str, Any]:
     """Fold every WN layer's g into its weight (reference fuse(),
     models_utils.py:122-125,755-758): the stored weight becomes the effective
     weight w*g/||w||_F, exactly as torch's fuse() writes it.  Because these
     functional modules always re-normalize, g is set to ||w_eff||_F so the
-    normalization becomes the identity — forward outputs are unchanged."""
+    normalization becomes the identity — forward outputs are unchanged.
 
-    def visit(node):
+    The out-channel axis is 0 for conv/linear torch layouts ([out,in,*k]) and
+    1 for transposed-conv layouts ([in,out,*k]).  When in_channels ==
+    out_channels the layouts are indistinguishable from shapes alone; such
+    layers are left UNFUSED (still numerically correct — the module
+    re-normalizes either way) unless their tree path is listed in
+    `transpose_paths` (fold on axis 1) — inferring the axis there would
+    silently fold along the wrong axis for square transpose layers."""
+    transpose_set = {tuple(p) for p in transpose_paths}
+
+    def visit(node, path):
         if not isinstance(node, dict):
             return node
         if "weight" in node and "g" in node and not isinstance(node["weight"], dict):
             w, g = node["weight"], node["g"]
-            # out-channel axis: 0 for conv/linear layouts, 1 for transpose
-            axis = 0 if w.shape[0] == g.shape[0] else 1
-            shape = tuple(g.shape[0] if i == axis else 1 for i in range(w.ndim))
+            o = g.shape[0]
+            if path in transpose_set:
+                axis = 1
+            elif w.ndim > 2 and w.shape[0] == o and w.shape[1] == o:
+                return node          # ambiguous square layout: skip (see doc)
+            else:
+                axis = 0 if w.shape[0] == o else 1
+            shape = tuple(o if i == axis else 1 for i in range(w.ndim))
             wnorm = jnp.sqrt(jnp.sum(jnp.asarray(w, jnp.float32) ** 2))
             w_eff = w * (g.reshape(shape) / wnorm).astype(w.dtype)
             new_norm = jnp.sqrt(jnp.sum(jnp.asarray(w_eff, jnp.float32) ** 2))
@@ -268,6 +283,6 @@ def fuse_wn(params: Dict[str, Any]) -> Dict[str, Any]:
             out["weight"] = w_eff
             out["g"] = jnp.full_like(g, new_norm)
             return out
-        return {k: visit(v) for k, v in node.items()}
+        return {k: visit(v, path + (k,)) for k, v in node.items()}
 
-    return visit(params)
+    return visit(params, ())

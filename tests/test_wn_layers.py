@@ -78,6 +78,35 @@ def test_conv_transpose2d_wn(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fuse_wn_square_transpose(rng):
+    """in_channels == out_channels: the [in,out,*k] transpose layout is
+    indistinguishable from [out,in,*k] by shape, so fuse_wn must either skip
+    (default) or fold on axis 1 when told — never silently fold axis 0."""
+    m = ConvTranspose2dWN(4, 4, 3, strides=2, padding=1)
+    x = rng.randn(2, 5, 5, 4).astype(np.float32)
+    w = rng.randn(4, 4, 3, 3).astype(np.float32)
+    g = rng.rand(4).astype(np.float32) + 0.5
+    b = rng.randn(4).astype(np.float32)
+    v = _set(m.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 5, 4))),
+             weight=w, g=g, bias=b)
+    got = np.asarray(m.apply(v, jnp.asarray(x)))
+
+    # default: ambiguous layer left untouched -> forward unchanged
+    fused = {"params": fuse_wn(v["params"])}
+    np.testing.assert_array_equal(np.asarray(fused["params"]["weight"]), w)
+    np.testing.assert_allclose(np.asarray(m.apply(fused, jnp.asarray(x))),
+                               got, rtol=1e-5, atol=1e-6)
+
+    # explicit transpose path: folds on axis 1, forward still unchanged and
+    # the stored weight matches torch fuse()'s w*g/||w|| (g on out axis 1)
+    fused = {"params": fuse_wn(v["params"], transpose_paths=[()])}
+    wnorm = np.sqrt((w ** 2).sum())
+    np.testing.assert_allclose(np.asarray(fused["params"]["weight"]),
+                               w * g[None, :, None, None] / wnorm, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m.apply(fused, jnp.asarray(x))),
+                               got, rtol=1e-4, atol=1e-5)
+
+
 def test_untied_bias_variants(rng):
     x = rng.randn(2, 8, 8, 3).astype(np.float32)
     w = rng.randn(5, 3, 3, 3).astype(np.float32)
