@@ -120,13 +120,30 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
     batch_spec = (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
     out_metric_spec = {"losses_g": P(), "losses_d": P(),
                        "aux": jax.tree.map(lambda _: P(DATA_AXIS), _AUX_TEMPLATE)}
-    sharded = shard_map(
+    donate_kw = dict(donate_argnums=(0,) if donate else ())
+    sharded = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(state_spec, batch_spec, P()),
         out_specs=(state_spec, out_metric_spec),
         check_vma=False,
-    )
-    return models, jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    ), **donate_kw)
+    # TPS-noise-replay variant (parity harnesses / the multichip dryrun):
+    # per-sample params shard with the batch, control points replicate
+    from facevae_tpu.ops.tps import TransformParams
+    tp_spec = TransformParams(P(DATA_AXIS), P(), P(DATA_AXIS))
+    sharded_tp = jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(state_spec, batch_spec, P(), tp_spec),
+        out_specs=(state_spec, out_metric_spec),
+        check_vma=False,
+    ), **donate_kw)
+
+    def dispatch(state, batch, rng, transform_params=None):
+        if transform_params is None:
+            return sharded(state, batch, rng)
+        return sharded_tp(state, batch, rng, transform_params)
+
+    return models, dispatch
 
 
 _AUX_TEMPLATE = {
