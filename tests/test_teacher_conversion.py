@@ -251,6 +251,54 @@ def test_hopenet_pickle_roundtrip(tmp_path, ref_hopenet):
                                    atol=1e-4, err_msg=name)
 
 
+def test_fetch_teachers_e2e(tmp_path, ref_hopenet):
+    """The teacher-weight runbook command (tools/fetch_teachers.py): cached
+    torch files in the REAL download layouts -> structural checks -> convert
+    -> load into real teacher trees.  Download gating itself is exercised by
+    running with no --allow-download (files pre-placed, nothing fetched)."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location("fetch_teachers", "tools/fetch_teachers.py")
+    ft = ilu.module_from_spec(spec)
+    spec.loader.exec_module(ft)
+
+    cache = tmp_path / "cache"
+    out = tmp_path / "artifacts"
+    cache.mkdir()
+
+    # torchvision vgg19 full checkpoint (features.* + classifier.*)
+    features = make_torch_vgg_features(VGG19_CFG)
+    sd = _randomize(features.state_dict(), 11)
+    full = {"features." + k: v for k, v in sd.items()}
+    torch.manual_seed(12)
+    for i, shape in ((0, (4096, 25088)), (3, (4096, 4096)), (6, (1000, 4096))):
+        full[f"classifier.{i}.weight"] = torch.randn(shape) * 0.01
+        full[f"classifier.{i}.bias"] = torch.randn(shape[0]) * 0.01
+    torch.save(full, cache / "vgg19-dcbb9e9d.pth")
+
+    # Oxford vgg_face_dag checkpoint (convX_Y.* + fc6/7/8.*)
+    f16 = make_torch_vgg_features(VGG16_CFG)
+    sd16 = _randomize(f16.state_dict(), 13)
+    idx2name = {0: "conv1_1", 2: "conv1_2", 5: "conv2_1", 7: "conv2_2",
+                10: "conv3_1", 12: "conv3_2", 14: "conv3_3",
+                17: "conv4_1", 19: "conv4_2", 21: "conv4_3",
+                24: "conv5_1", 26: "conv5_2", 28: "conv5_3"}
+    oxford = {f"{idx2name[int(k.split('.')[0])]}.{k.split('.')[1]}": v
+              for k, v in sd16.items()}
+    for fc, shape in (("fc6", (4096, 25088)), ("fc7", (4096, 4096)),
+                      ("fc8", (2622, 4096))):
+        oxford[fc + ".weight"] = torch.randn(shape) * 0.01
+        oxford[fc + ".bias"] = torch.randn(shape[0]) * 0.01
+    torch.save(oxford, cache / "vgg_face_dag.pth")
+
+    # Hopenet pickle (reference architecture incl. fc_finetune)
+    oracle = ref_hopenet.Hopenet(TorchBottleneck, [3, 4, 6, 3], 66)
+    torch.save(_randomize(oracle.state_dict(), 14), cache / "hopenet_robust_alpha1.pkl")
+
+    ft.main(["--cache-dir", str(cache), "--out", str(out), "--no-verify-hash"])
+    for name in ("vgg19", "vggface", "hopenet"):
+        assert (out / f"{name}.npz").exists(), name
+
+
 def test_load_pretrained_wires_teachers(tmp_path):
     """End-to-end: artifacts in a dir -> LossConfig.pretrained_dir -> teachers
     in the train state actually carry the converted weights."""

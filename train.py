@@ -48,6 +48,10 @@ def parse_args(argv=None):
     parser.add_argument("--profile_dir", type=str, default="",
                         help="write a jax.profiler trace of steps 10-14")
     parser.add_argument("--tensorboard", type=str2bool, default=False)
+    parser.add_argument("--pretrained_dir", type=str, default="",
+                        help="dir of converted teacher npz artifacts "
+                             "(tools/fetch_teachers.py); empty = random-init "
+                             "teachers (no egress)")
     args = parser.parse_args(argv)
     if args.ext:
         args.ckp_dir = args.ckp_dir + args.ext
@@ -77,7 +81,10 @@ def build_config(args):
                                num_workers=args.num_workers,
                                on_device_aug=not args.cpu_aug,
                                frame_shape=(args.image_size, args.image_size, 3))
-    return dataclasses.replace(cfg, train=train, data=data)
+    loss = cfg.loss
+    if args.pretrained_dir:
+        loss = dataclasses.replace(loss, pretrained_dir=args.pretrained_dir)
+    return dataclasses.replace(cfg, train=train, data=data, loss=loss)
 
 
 def main(argv=None):
