@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_window_ms", type=float, default=10.0)
     p.add_argument("--random_init", type=lambda s: s.lower().startswith("t"),
                    default=False, help="skip checkpoint loading (smoke tests)")
+    p.add_argument("--bf16", type=lambda s: s.lower().startswith("t"),
+                   default=False,
+                   help="bfloat16 inference (Pallas warp path on TPU; params "
+                        "stay fp32)")
     return p.parse_args(argv)
 
 
@@ -88,36 +92,47 @@ class BatchedEngine:
             return session in self.sessions
 
     # -- request path ------------------------------------------------------
-    def drive(self, session, img, timeout=30.0):
-        """Blocking: returns the generated frame [H,W,3] float32."""
+    def _submit(self, kind, session, img, timeout):
         done = threading.Event()
         slot = {}
-        self.requests.put((session, img, slot, done))
+        self.requests.put((kind, session, img, slot, done))
         if not done.wait(timeout):
             raise TimeoutError("inference timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["out"]
 
-    def frontalize(self, img):
-        return self.pipe.frontalize_frame(img[None])[0]
+    def drive(self, session, img, timeout=30.0):
+        """Blocking: returns the generated frame [H,W,3] float32."""
+        return self._submit("drive", session, img, timeout)
+
+    def frontalize(self, img, timeout=30.0):
+        """Blocking; batched through the collector like /drive (concurrent
+        frontalize requests share one padded static-batch graph instead of
+        contending with the collector at batch 1)."""
+        return self._submit("front", None, img, timeout)
 
     def warmup(self):
         """Compile the batched graphs before serving traffic."""
         self.set_source("_warm", self._zero[0])
         self.drive("_warm", self._zero[0])
+        self.frontalize(self._zero[0])
         with self.lock:
             self.sessions.pop("_warm", None)
         self.stats.update(batches=0, frames=0, padded=0)
 
     # -- collector ---------------------------------------------------------
     def _run(self):
-        jnp = self.jnp
+        carry = None                  # first request of the NEXT batch kind
         while not self._stop:
-            try:
-                first = self.requests.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                try:
+                    first = self.requests.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            kind = first[0]
             batch = [first]
             deadline = time.monotonic() + self.window_s
             while len(batch) < self.max_batch:
@@ -125,36 +140,43 @@ class BatchedEngine:
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self.requests.get(timeout=remaining))
+                    req = self.requests.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if req[0] != kind:    # different graph: flush, start anew
+                    carry = req
+                    break
+                batch.append(req)
             try:
-                self._flush(batch)
+                self._flush(kind, batch)
             except Exception as e:                    # fan the error out
-                for _, _, slot, done in batch:
+                for _, _, _, slot, done in batch:
                     slot["error"] = repr(e)
                     done.set()
 
-    def _flush(self, batch):
+    def _flush(self, kind, batch):
         import numpy as np
         jnp = self.jnp
         n = len(batch)
         pad = self.max_batch - n
-        with self.lock:
-            encs = [self.sessions[s] for s, _, _, _ in batch]
-        # stack session encodings + driving frames, pad to the static batch
-        def cat(i):
-            parts = [e[i] for e in encs] + [encs[-1][i]] * pad
-            return jnp.concatenate(parts, axis=0)
-        fs, kp_c, kp_s, Rs = (cat(i) for i in range(4))
         imgs = jnp.concatenate(
-            [jnp.asarray(img, jnp.float32)[None] for _, img, _, _ in batch]
+            [jnp.asarray(img, jnp.float32)[None] for _, _, img, _, _ in batch]
             + [self._zero] * pad, axis=0)
-        out = np.asarray(self.pipe.drive_frame(fs, kp_c, kp_s, Rs, imgs))
+        if kind == "drive":
+            with self.lock:
+                encs = [self.sessions[s] for _, s, _, _, _ in batch]
+            # stack session encodings + driving frames, pad to the static batch
+            def cat(i):
+                parts = [e[i] for e in encs] + [encs[-1][i]] * pad
+                return jnp.concatenate(parts, axis=0)
+            fs, kp_c, kp_s, Rs = (cat(i) for i in range(4))
+            out = np.asarray(self.pipe.drive_frame(fs, kp_c, kp_s, Rs, imgs))
+        else:
+            out = np.asarray(self.pipe.frontalize_frame(imgs))
         self.stats["batches"] += 1
         self.stats["frames"] += n
         self.stats["padded"] += pad
-        for i, (_, _, slot, done) in enumerate(batch):
+        for i, (_, _, _, slot, done) in enumerate(batch):
             slot["out"] = out[i]
             done.set()
 
@@ -239,8 +261,11 @@ def main(argv=None):
     from facevae_tpu.config import Config, ModelConfig, tiny_config
     from facevae_tpu.train import create_train_state, load_checkpoint
 
-    cfg = tiny_config(image_size=args.image_size) if args.tiny else \
-        Config(model=ModelConfig(image_size=args.image_size))
+    dtype = "bfloat16" if args.bf16 else "float32"
+    cfg = tiny_config(image_size=args.image_size, compute_dtype=dtype) \
+        if args.tiny else \
+        Config(model=ModelConfig(image_size=args.image_size,
+                                 compute_dtype=dtype))
     state = create_train_state(cfg, seed=0)
     if not args.random_init:
         state = load_checkpoint(args.ckp_dir, args.ckp, state)

@@ -66,8 +66,23 @@ def test_serve_end_to_end(tmp_path):
             assert img.min() >= 0 and img.max() <= 255
         assert engine.stats["frames"] == 3
 
-        out = _post(port, "/frontalize", src.tobytes())
-        assert len(out) == size * size * 3
+        # concurrent frontalizes -> batched through the collector (not the
+        # HTTP thread): frames counter advances, no per-request batch-1 path
+        before = engine.stats["batches"]
+        fronts = [None] * 3
+
+        def hit_front(i):
+            fronts[i] = _post(port, "/frontalize", frames[i].tobytes())
+
+        threads = [threading.Thread(target=hit_front, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for r in fronts:
+            assert len(r) == size * size * 3
+        assert engine.stats["frames"] == 6
+        assert engine.stats["batches"] >= before + 1
 
         # health endpoint
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
