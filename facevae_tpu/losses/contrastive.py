@@ -142,7 +142,9 @@ class ContrastiveHeadConv2(nn.Module):
 
         def project(f):
             z = proj_bn(proj_conv(f, train), train)
-            return z.reshape(z.shape[0], -1)
+            # torch z.view(N,-1) flattens (C,H,W)-order (losses.py:366) — the
+            # predictor's ported linear weights expect that order
+            return z.transpose(0, 3, 1, 2).reshape(z.shape[0], -1)
 
         z1, z2 = project(f1), project(f2)
         p1, p2 = predict(z1, train), predict(z2, train)

@@ -97,7 +97,9 @@ class EFEConv(nn.Module):
                 def project(f):
                     for cv in convs:
                         f = cv(f, train)
-                    return f.reshape(f.shape[0], -1)
+                    # torch x_c.view(N,-1) flattens (C,h,w) (models.py:337);
+                    # only visible when the projected map is larger than 1x1
+                    return f.transpose(0, 3, 1, 2).reshape(f.shape[0], -1)
                 x_c, x_a_c = project(x_c), project(x_a_c)
         else:
             x_c, x_a_c = None, None

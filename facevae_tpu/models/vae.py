@@ -50,20 +50,25 @@ class FlattenVAE(nn.Module):
 
     @nn.compact
     def __call__(self, x, train_vae: bool = False):
-        shape = x.shape
-        h = x.reshape(shape[0], -1)
+        N, hh, ww, C = x.shape
+        # torch (C,H,W)-order flatten (models.py:511); see FlattenVAE6
+        h = x.transpose(0, 3, 1, 2).reshape(N, -1)
         for i in range(len(self.down_seq) - 1):
             h = LinearELR(self.down_seq[i], self.down_seq[i + 1],
                           norm="demod", act="leakyrelu")(h)
         mu = LinearELR(self.vae_seq[0], self.vae_seq[1], name="mu_fc")(h) * 0.1
+
+        def unflatten(z):
+            return z.reshape(N, C, hh, ww).transpose(0, 2, 3, 1)
+
         if train_vae:
             logstd = LinearELR(self.vae_seq[0], self.vae_seq[1], name="logstd_fc")(h) * 0.01
             eps = jax.random.normal(self.make_rng("noise"), logstd.shape, logstd.dtype)
             z = mu + jnp.exp(logstd) * eps
-            return (mu, logstd), z.reshape(shape)
+            return (mu, logstd), unflatten(z)
         # reference zeroes logstd AND noise when not train_vae -> z = mu
         LinearELR(self.vae_seq[0], self.vae_seq[1], name="logstd_fc")(h)  # keep params
-        return (None, None), mu.reshape(shape)
+        return (None, None), unflatten(mu)
 
 
 class FlattenVAE6(nn.Module):
@@ -77,7 +82,10 @@ class FlattenVAE6(nn.Module):
     @nn.compact
     def __call__(self, x, train_vae: bool = True):
         shape = x.shape
-        h = x.reshape(shape[0], -1)
+        N, hh, ww, C = shape
+        # torch flattens (C,H,W)-order (models.py:824 x.flatten(start_dim=1)
+        # on NCHW); match it so ported linear weights line up at spatial > 1x1
+        h = x.transpose(0, 3, 1, 2).reshape(N, -1)
         for i in range(len(self.down_seq) - 1):
             h = LinearELR(self.down_seq[i], self.down_seq[i + 1],
                           norm="demod", act="leakyrelu", name=f"enc_{i}")(h)
@@ -91,7 +99,7 @@ class FlattenVAE6(nn.Module):
         for i in range(len(self.up_seq) - 1):
             z = LinearELR(self.up_seq[i], self.up_seq[i + 1],
                           norm="demod", act="leakyrelu", name=f"dec_{i}")(z)
-        return (mu, logstd), z.reshape(shape)
+        return (mu, logstd), z.reshape(N, C, hh, ww).transpose(0, 2, 3, 1)
 
 
 class LocalVAE(nn.Module):
@@ -111,12 +119,13 @@ class LocalVAE(nn.Module):
         for i in range(len(self.down_seq) - 1):
             h = DownBlock2D(self.down_seq[i], self.down_seq[i + 1],
                             self.use_weight_norm, axis_name=self.axis_name)(h, train)
-        flat = h.reshape(N, -1)
+        # torch (C,H,W)-order flatten/unflatten (models.py:475,479)
+        flat = h.transpose(0, 3, 1, 2).reshape(N, -1)
         flat = LinearELR(flat.shape[-1], self.vae_seq[0], norm="demod",
                          act="leakyrelu", name="map_fc1")(flat)
         flat = LinearELR(self.vae_seq[0], 128 * 4 * 4, norm="demod",
                          act="leakyrelu", name="map_fc2")(flat)
-        h = flat.reshape(N, 4, 4, self.up_seq[0])
+        h = flat.reshape(N, self.up_seq[0], 4, 4).transpose(0, 2, 3, 1)
         for i in range(len(self.up_seq) - 1):
             h = UpBlock2D(self.up_seq[i], self.up_seq[i + 1],
                           self.use_weight_norm, axis_name=self.axis_name)(h, train)
