@@ -16,7 +16,8 @@ from typing import Optional, Tuple, Union
 import jax.numpy as jnp
 import flax.linen as nn
 
-from facevae_tpu.nn.layers import Conv, BatchNorm, InstanceNorm
+from facevae_tpu.nn.layers import (Conv, BatchNorm, InstanceNorm,
+                                   _s2d_enabled, s2d_pack, s2d_unpack)
 from facevae_tpu.ops.interpolate import (
     avg_pool_2d, avg_pool_3d, upsample_nearest_2d, upsample_nearest_3d,
 )
@@ -28,6 +29,18 @@ def _nonlinearity(kind: str, x):
     if kind == "leakyrelu":
         return nn.leaky_relu(x, negative_slope=0.2)
     raise ValueError(kind)
+
+
+def _s2d_block_ok(in_ch, out_ch, x, use_weight_norm, min_h=32):
+    """Space-to-depth packed execution for a whole 3D NAC/CNA chain: worth it
+    for small-channel stacks at real spatial sizes (the per-conv variant
+    measured a net LOSS from pack/unpack churn around norm/act — whole
+    chains run packed, so boundaries only exist at block edges where XLA can
+    cancel adjacent unpack/pack pairs)."""
+    return (_s2d_enabled() and not use_weight_norm
+            and in_ch <= 64 and out_ch <= 64 and x.ndim == 5
+            and x.shape[2] >= min_h
+            and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
 
 
 class ConvBlock(nn.Module):
@@ -44,6 +57,11 @@ class ConvBlock(nn.Module):
     norm_type: str = "batch"          # "batch" | "instance" | "none"
     nonlinearity_type: str = "relu"
     axis_name: Optional[str] = None   # SyncBN mesh axis
+    # s2d_io: input AND output are space-to-depth packed ([.., 4C] lanes);
+    # the conv uses the phase-embedded kernel, BatchNorm reduces over the
+    # phase groups.  Param tree identical to the unpacked block (blocks can
+    # switch execution per backend without touching checkpoints).
+    s2d_io: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -53,11 +71,15 @@ class ConvBlock(nn.Module):
         for ch in self.pattern:
             if ch == "C":
                 x = Conv(self.out_channels, self.kernel_size, self.stride, self.padding,
-                         dim=self.dim, use_spectral_norm=self.use_weight_norm)(x, train)
+                         dim=self.dim, use_spectral_norm=self.use_weight_norm,
+                         s2d_io=self.s2d_io)(x, train)
             elif ch == "N":
                 if self.norm_type == "batch":
-                    x = BatchNorm(norm_channels, axis_name=self.axis_name)(x, train)
+                    x = BatchNorm(norm_channels, axis_name=self.axis_name,
+                                  lane_groups=4 if self.s2d_io else 1)(x, train)
                 elif self.norm_type == "instance":
+                    if self.s2d_io:
+                        raise ValueError("s2d_io supports batch/none norms only")
                     x = InstanceNorm(norm_channels)(x, train)
                 elif self.norm_type != "none":
                     raise ValueError(self.norm_type)
@@ -93,6 +115,15 @@ class DownBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if _s2d_block_ok(self.in_channels, self.out_channels, x,
+                         self.use_weight_norm):
+            xp = ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
+                           self.use_weight_norm, dim=3,
+                           axis_name=self.axis_name, s2d_io=True)(s2d_pack(x), train)
+            # avgpool(1,2,2) on the unpacked tensor == mean over the 4 phase
+            # groups at each packed position (output leaves packed form free)
+            n, d, m, mx, c4 = xp.shape
+            return xp.reshape(n, d, m, mx, 4, c4 // 4).mean(4)
         x = ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
                       self.use_weight_norm, dim=3, axis_name=self.axis_name)(x, train)
         return avg_pool_3d(x, (1, 2, 2))
@@ -123,6 +154,15 @@ class UpBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if _s2d_block_ok(self.in_channels, self.out_channels, x,
+                         self.use_weight_norm, min_h=16):
+            # packed form of the nearest-(1,2,2)-upsampled tensor at packed
+            # spatial == input spatial: all 4 phases equal the source pixel
+            xp = jnp.tile(x, (1,) * (x.ndim - 1) + (4,))
+            xp = ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
+                           self.use_weight_norm, dim=3,
+                           axis_name=self.axis_name, s2d_io=True)(xp, train)
+            return s2d_unpack(xp)
         x = upsample_nearest_3d(x, (1, 2, 2))
         return ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
                          self.use_weight_norm, dim=3, axis_name=self.axis_name)(x, train)
@@ -177,6 +217,15 @@ class ResBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if _s2d_block_ok(self.channels, self.channels, x, self.use_weight_norm):
+            xp = s2d_pack(x)
+            hp = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
+                           self.use_weight_norm, dim=3,
+                           axis_name=self.axis_name, s2d_io=True)(xp, train)
+            hp = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
+                           self.use_weight_norm, dim=3,
+                           axis_name=self.axis_name, s2d_io=True)(hp, train)
+            return s2d_unpack(xp + hp)
         h = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
                       self.use_weight_norm, dim=3, axis_name=self.axis_name)(x, train)
         h = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,

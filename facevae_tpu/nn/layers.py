@@ -42,6 +42,20 @@ class Conv(nn.Module):
     use_bias: bool = True
     use_spectral_norm: bool = False
     dtype: Optional[jnp.dtype] = None
+    # Execute a 3D conv as a 2D conv over depth-folded channels with a BANDED
+    # [D*Cin, D*Cout] kernel (exact same math/params).  For small-Cin/Cout 3D
+    # convs with a wide z-window (MFE's 7^3 mask conv: Cin=32, Cout=16) the
+    # direct lowering runs at ~3% MXU (lane padding on BOTH operands); the
+    # banded kernel contracts full 512->256 lanes.  FLOPs grow by D/kz but
+    # utilization grows far more (measured ~5x on the mask conv).  Requires
+    # stride 1 and z-padding kz//2; falls back to the direct path otherwise.
+    z_banded: bool = False
+    # Input/output are SPACE-TO-DEPTH PACKED ([N,D,M,Mx,4C], s2d_pack lane
+    # order); the conv runs on packed tensors with the phase-embedded kernel.
+    # Param shapes/names unchanged (the logical 3x3x3 kernel).  Set by the
+    # block-level packing in nn/blocks.py; requires dim=3, k=3, stride 1,
+    # padding 1, no spectral norm.
+    s2d_io: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -49,7 +63,7 @@ class Conv(nn.Module):
         ks = (self.kernel_size,) * d if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
         st = (self.strides,) * d if isinstance(self.strides, int) else tuple(self.strides)
         pd = (self.padding,) * d if isinstance(self.padding, int) else tuple(self.padding)
-        in_features = x.shape[-1]
+        in_features = x.shape[-1] // 4 if self.s2d_io else x.shape[-1]
         fan_in = in_features
         for k in ks:
             fan_in *= int(k)
@@ -80,21 +94,138 @@ class Conv(nn.Module):
                                jax.lax.stop_gradient(v))
             kernel = kernel / sigma
 
-        dn_spatial = "DHW"[3 - d:] if d < 3 else "DHW"
-        lhs_spec = "N" + dn_spatial + "C"
-        rhs_spec = dn_spatial + "IO"
-        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, (lhs_spec, rhs_spec, lhs_spec))
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype),
-            window_strides=st,
-            padding=[(p, p) for p in pd],
-            dimension_numbers=dn,
-        )
+        if self.s2d_io:
+            assert (d == 3 and ks == (3, 3, 3) and st == (1, 1, 1)
+                    and pd == (1, 1, 1) and not self.use_spectral_norm), \
+                "s2d_io requires a 3x3x3 stride-1 SAME conv"
+            y = _s2d_conv3d_packed(x.astype(dtype), kernel.astype(dtype))
+            if self.use_bias:
+                bias = self.param("bias", torch_bias_init(fan_in),
+                                  (self.features,))
+                y = y + jnp.tile(bias, 4).astype(dtype)
+            return y
+        if (self.z_banded and d == 3 and st == (1, 1, 1)
+                and pd[0] == ks[0] // 2 and not self.use_spectral_norm):
+            y = _z_banded_conv3d(x.astype(dtype), kernel.astype(dtype),
+                                 (pd[1], pd[2]))
+        else:
+            dn_spatial = "DHW"[3 - d:] if d < 3 else "DHW"
+            lhs_spec = "N" + dn_spatial + "C"
+            rhs_spec = dn_spatial + "IO"
+            dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                                (lhs_spec, rhs_spec, lhs_spec))
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype),
+                window_strides=st,
+                padding=[(p, p) for p in pd],
+                dimension_numbers=dn,
+            )
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
             y = y + bias.astype(dtype)
         return y
+
+
+def _s2d_enabled() -> bool:
+    """Space-to-depth packed execution for small-channel 3x3x3 convs.
+
+    FACEVAE_S2D: "auto" (default — on for TPU backends only; the packed path
+    is a TPU lane-utilization optimization), "1" (always — CPU tests), "0"
+    (never)."""
+    import os
+    v = os.environ.get("FACEVAE_S2D", "auto")
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    return v not in ("0", "false", "")
+
+
+def _s2d_phase_indicator():
+    """E[t, p, q, d] = 1 iff the original tap offset (d-1) equals
+    2*(t-1) + p - q: output phase q at packed tap t reads input phase p."""
+    import numpy as np
+    E = np.zeros((3, 2, 2, 3), np.float32)
+    for t in range(3):
+        for p in range(2):
+            for q in range(2):
+                dy = 2 * (t - 1) + p - q
+                if -1 <= dy <= 1:
+                    E[t, p, q, dy + 1] = 1.0
+    return E
+
+
+def s2d_pack(x):
+    """[N,D,H,W,C] -> [N,D,H/2,W/2,4C], lane index = (py*2+px)*C + c."""
+    N, D, H, W, C = x.shape
+    return (x.reshape(N, D, H // 2, 2, W // 2, 2, C)
+            .transpose(0, 1, 2, 4, 3, 5, 6).reshape(N, D, H // 2, W // 2, 4 * C))
+
+
+def s2d_unpack(xp):
+    """Inverse of s2d_pack."""
+    N, D, M, Mx, C4 = xp.shape
+    C = C4 // 4
+    return (xp.reshape(N, D, M, Mx, 2, 2, C)
+            .transpose(0, 1, 2, 4, 3, 5, 6).reshape(N, D, 2 * M, 2 * Mx, C))
+
+
+def _s2d_conv3d_packed(xp, kernel):
+    """3x3x3 stride-1 SAME conv on a PACKED tensor [N,D,M,Mx,4Ci] -> packed
+    [N,D,M,Mx,4Co].  The packed 3-tap kernel carries structured zeros (each
+    output phase reads 2 of the 3 packed taps per axis); the phase embedding
+    is one einsum, linear in the kernel — autodiff free."""
+    Ci, Co = kernel.shape[3], kernel.shape[4]
+    E = jnp.asarray(_s2d_phase_indicator(), kernel.dtype)
+    wp = jnp.einsum("tpqd,TPQD,zdDio->ztTpPiqQo", E, E, kernel)
+    wp = wp.reshape(3, 3, 3, 4 * Ci, 4 * Co)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(xp, wp, (1, 1, 1), [(1, 1)] * 3,
+                                        dimension_numbers=dn)
+
+
+def _s2d_conv3d(x, kernel):
+    """3x3x3 stride-1 SAME conv via 2x2 spatial phase packing (C -> 4C).
+
+    XLA's direct NDHWC lowering pads both conv operands to 128 lanes, so a
+    C=32 conv runs at ~6% MXU.  Packing 2x2 (H,W) phases into channels makes
+    the contraction 4C wide at 4x the dense FLOPs; measured ~1.5-1.75x net
+    per conv (tools/microbench_s2d.py).  NOTE: per-conv pack/unpack with
+    norm/act in between measured a net LOSS full-step — use the block-level
+    packing (nn/blocks.py, Conv(s2d_io=True)) which keeps whole NAC chains
+    packed.  Exact same math/params as the direct conv."""
+    return s2d_unpack(_s2d_conv3d_packed(s2d_pack(x), kernel))
+
+
+def _z_banded_conv3d(x, kernel, pad_yx):
+    """3D conv (stride 1, z-padding kz//2) as a 2D conv over depth-folded
+    channels with a banded [D*Ci, D*Co] kernel.
+
+    The band structure encodes both the z-window and the zero z-padding:
+    W2[:, :, di*Ci+ci, do*Co+co] = kernel[di-do+rz, :, :, ci, co] when
+    |di-do| <= rz, else 0 — out-of-range taps simply have no di row.  Exact
+    same math as the direct conv; the build is linear in `kernel`, so the
+    backward differentiates through the slice-assembly for free."""
+    import numpy as np
+    N, D, H, W, Ci = x.shape
+    kz, ky, kx, _, Co = kernel.shape
+    rz = kz // 2
+    # constant band indicator E[dz, di, do] = 1 iff di - do == dz - rz; the
+    # whole band embedding is ONE einsum (linear in kernel — autodiff free)
+    E = np.zeros((kz, D, D), np.float32)
+    for dz in range(kz):
+        for do in range(D):
+            di = do + dz - rz
+            if 0 <= di < D:
+                E[dz, di, do] = 1.0
+    W2 = jnp.einsum("zpq,zyxio->yxpiqo", jnp.asarray(E, kernel.dtype), kernel)
+    W2 = W2.reshape(ky, kx, D * Ci, D * Co)
+    x2 = x.transpose(0, 2, 3, 1, 4).reshape(N, H, W, D * Ci)
+    dn = jax.lax.conv_dimension_numbers(x2.shape, W2.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x2, W2, (1, 1), [(p, p) for p in pad_yx], dimension_numbers=dn)
+    return y.reshape(N, H, W, D, Co).transpose(0, 3, 1, 2, 4)
 
 
 class Dense(nn.Module):
@@ -130,9 +261,16 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
     axis_name: Optional[str] = None
     use_scale_bias: bool = True   # torch affine=True
+    # lane_groups=G: input lanes carry G packed copies of the channel axis
+    # ([..., G*features], s2d phase packing) — statistics reduce over the
+    # group axis too, so they equal the unpacked BN's exactly; params and
+    # running stats stay [features] (checkpoint-identical), tiled for the
+    # affine.
+    lane_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        G = self.lane_groups
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda *_: jnp.zeros((self.features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -140,15 +278,21 @@ class BatchNorm(nn.Module):
         reduce_axes = tuple(range(x.ndim - 1))
         if train:
             xf = x.astype(jnp.float32)
-            mean = xf.mean(reduce_axes)
-            mean2 = (xf * xf).mean(reduce_axes)
+            if G > 1:
+                xg = xf.reshape(xf.shape[:-1] + (G, self.features))
+                gaxes = reduce_axes + (x.ndim - 1,)
+                mean = xg.mean(gaxes)
+                mean2 = (xg * xg).mean(gaxes)
+            else:
+                mean = xf.mean(reduce_axes)
+                mean2 = (xf * xf).mean(reduce_axes)
             # axis is only bound inside shard_map/pmap; init traces run outside
             if self.axis_name is not None and not self.is_initializing():
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
             var = mean2 - mean * mean
             if not self.is_initializing():
-                n = 1
+                n = G
                 for a in reduce_axes:
                     n *= x.shape[a]
                 if self.axis_name is not None:
@@ -162,11 +306,12 @@ class BatchNorm(nn.Module):
             mean = ra_mean.value
             var = ra_var.value
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        tile = (lambda v: jnp.tile(v, G)) if G > 1 else (lambda v: v)
+        y = (x.astype(jnp.float32) - tile(mean)) * jax.lax.rsqrt(tile(var) + self.eps)
         if self.use_scale_bias:
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y * scale + bias
+            y = y * tile(scale) + tile(bias)
         return y.astype(x.dtype)
 
 

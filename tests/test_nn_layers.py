@@ -36,6 +36,83 @@ def test_conv2d_parity(rng):
     np.testing.assert_allclose(got, nhwc(expect), rtol=1e-4, atol=1e-5)
 
 
+def test_conv3d_z_banded_exact(rng):
+    """z_banded execution (depth-folded 2D conv with a banded kernel) is the
+    SAME function of the SAME params as the direct 3D conv — checked on the
+    mask-conv geometry (7³, z-padding 3) and an asymmetric-pad variant."""
+    x = rng.randn(2, 6, 8, 8, 5).astype(np.float32)
+    for k, p in ((7, 3), (3, 1)):
+        m_dir = Conv(4, k, 1, p, dim=3)
+        m_band = Conv(4, k, 1, p, dim=3, z_banded=True)
+        v = m_dir.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(m_band.apply(v, jnp.asarray(x)))
+        want = np.asarray(m_dir.apply(v, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # grads agree too (the band embedding is linear in the kernel)
+    def loss(mod, v):
+        return jnp.sum(mod.apply(v, jnp.asarray(x)) ** 2)
+
+    m_dir = Conv(4, 7, 1, 3, dim=3)
+    m_band = Conv(4, 7, 1, 3, dim=3, z_banded=True)
+    v = m_dir.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    g_dir = jax.grad(lambda v: loss(m_dir, v))(v)
+    g_band = jax.grad(lambda v: loss(m_band, v))(v)
+    np.testing.assert_allclose(np.asarray(g_band["params"]["kernel"]),
+                               np.asarray(g_dir["params"]["kernel"]),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_s2d_blocks_exact(rng, monkeypatch):
+    """Block-level space-to-depth packed execution (FACEVAE_S2D=1): the
+    packed Res/Down/Up 3D blocks compute the same function of the SAME param
+    tree as the direct path, including BatchNorm train-mode batch stats
+    (lane-grouped reduction) and kernel grads."""
+    from facevae_tpu.nn import ResBlock3D, DownBlock3D, UpBlock3D
+
+    x = jnp.asarray(rng.randn(2, 4, 32, 32, 6), np.float32)
+    for mod, xin in ((ResBlock3D(6), x), (DownBlock3D(6, 8), x),
+                     (UpBlock3D(6, 8), jnp.asarray(rng.randn(2, 4, 16, 16, 6),
+                                                   np.float32))):
+        monkeypatch.setenv("FACEVAE_S2D", "0")
+        v = mod.init(jax.random.PRNGKey(0), xin)
+        want, st_dir = mod.apply(v, xin, train=True, mutable=["batch_stats"])
+        monkeypatch.setenv("FACEVAE_S2D", "1")
+        v1 = mod.init(jax.random.PRNGKey(0), xin)
+        assert jax.tree.map(jnp.shape, v1) == jax.tree.map(jnp.shape, v)
+        got, st_s2d = mod.apply(v, xin, train=True, mutable=["batch_stats"])
+        name = type(mod).__name__
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
+        for a, b in zip(jax.tree.leaves(st_dir), jax.tree.leaves(st_s2d)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=name)
+
+    # grads agree through the packed residual stack
+    mod = ResBlock3D(6)
+    monkeypatch.setenv("FACEVAE_S2D", "0")
+    v = mod.init(jax.random.PRNGKey(2), x)
+
+    def loss(v):
+        y, _ = mod.apply(v, x, train=True, mutable=["batch_stats"])
+        return jnp.sum(y ** 2)
+
+    g_dir = jax.grad(loss)(v)
+    monkeypatch.setenv("FACEVAE_S2D", "1")
+    g_s2d = jax.grad(loss)(v)
+    # atol covers the conv-bias grad, which is mathematically ~0 (BN directly
+    # downstream removes any bias shift) and hence cancellation noise in both
+    # paths; every other leaf agrees to ~1e-6 relative at scales of 1e2-1e3
+    for a, b in zip(jax.tree.leaves(g_dir), jax.tree.leaves(g_s2d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-2)
+
+    # odd spatial / big channels fall back to the direct path (no crash)
+    x_odd = jnp.asarray(rng.randn(1, 4, 34, 34, 6), np.float32)
+    v2 = ResBlock3D(6).init(jax.random.PRNGKey(1), x_odd)
+    assert ResBlock3D(6).apply(v2, x_odd, train=False).shape == x_odd.shape
+
+
 def test_conv3d_parity(rng):
     x = rng.randn(2, 4, 8, 8, 3).astype(np.float32)
     m = Conv(5, 3, strides=1, padding=1, dim=3)
