@@ -56,8 +56,28 @@ def transform_frame(tp: TransformParams, frame: jnp.ndarray) -> jnp.ndarray:
 
     Reference trainer.py:106-110: grid_sample 2D, align_corners=True,
     reflection padding.
-    """
+
+    bf16 frames on TPU take the one-hot MXU path: reflection is applied to
+    the UNNORMALIZED coordinates up front (pre-reflected coords make
+    reflection padding plain interior sampling — same _reflect formula as
+    grid_sample_2d), then the warp runs through the fused Pallas multi-warp
+    machinery as a D=1 volume.  fp32 keeps the exact gather path (parity)."""
     N, H, W, C = frame.shape
-    grid = make_coordinate_grid_2d((H, W), frame.dtype).reshape(1, H * W, 2)
+    grid = make_coordinate_grid_2d((H, W), jnp.float32).reshape(1, H * W, 2)
     grid = warp_coordinates(tp, grid).reshape(N, H, W, 2)
-    return grid_sample_2d(frame, grid, align_corners=True, padding_mode="reflection")
+    if frame.dtype == jnp.bfloat16:
+        from facevae_tpu.ops.fast_warp import warp_multi_pixel, _multi_plan
+        from facevae_tpu.ops.grid_sample import _reflect
+        x = frame[:, None]                                   # [N,1,H,W,C]
+        if _multi_plan(x, 1, H * W) is not None:
+            def px(g, n):
+                p = (g + 1.0) * 0.5 * (n - 1)
+                return jnp.clip(_reflect(p, 0.0, float(n - 1)),
+                                0.0, float(n - 1))
+            gx = px(grid[..., 0], W).reshape(N, 1, H * W)
+            gy = px(grid[..., 1], H).reshape(N, 1, H * W)
+            out = warp_multi_pixel(x, gx, gy, jnp.zeros_like(gx), (1, H, W))
+            return out.reshape(N, H, W, C).astype(frame.dtype)
+    return grid_sample_2d(frame.astype(jnp.float32), grid,
+                          align_corners=True, padding_mode="reflection"
+                          ).astype(frame.dtype)

@@ -122,10 +122,31 @@ def check_multi(N, D, H, W, C, K1):
           f"{tm/tp:5.2f}x")
 
 
+def check_tps(N=8, H=256, W=256):
+    """bf16 MXU TPS warp (pre-reflected coords, D=1 multi path) vs the exact
+    fp32 gather path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from facevae_tpu.ops.tps import random_transform_params, transform_frame
+
+    rng = np.random.RandomState(7)
+    frame = jnp.asarray(rng.rand(N, H, W, 3), jnp.float32)
+    tp = random_transform_params(jax.random.PRNGKey(3), N,
+                                 sigma_affine=0.2, sigma_tps=0.02)
+    exact = jax.jit(lambda f: transform_frame(tp, f))(frame)
+    fast = jax.jit(lambda f: transform_frame(tp, f.astype(jnp.bfloat16)))(frame)
+    d = jnp.max(jnp.abs(exact - fast.astype(jnp.float32)))
+    print(f"tps warp (N={N}, {H}x{W}): bf16-vs-fp32 max abs diff "
+          f"{float(d):.5f} (pixel scale 1.0)")
+    assert float(d) < 0.03, float(d)
+
+
 def main():
     check_multi(8, 16, 64, 64, 4, 16)       # MFE shape (G=1)
     check_multi(8, 16, 64, 64, 32, 1)       # generator shape (grouped, G=8)
     check(8, 16, 64, 64, 4, 16, "single-k kernels (fallback path)")
+    check_tps()
 
 
 if __name__ == "__main__":
