@@ -14,6 +14,8 @@ from typing import Optional, Sequence
 import flax.linen as nn
 
 from facevae_tpu.nn import Conv, ConvBlock, DownBlock2D, ResBlock3D
+from facevae_tpu.nn.blocks import _s2d_block_ok
+from facevae_tpu.nn.layers import s2d_pack, s2d_unpack
 
 
 class AFE(nn.Module):
@@ -37,6 +39,12 @@ class AFE(nn.Module):
         # channel k -> (c = k // D, d = k % D): split last dim as (C, D), then
         # move depth in front of the spatial dims.
         x = x.reshape(N, H, W, self.C, self.D).transpose(0, 4, 1, 2, 3)
+        # pack ONCE around the whole residual stack (per-block boundaries
+        # cost ~2.7 ms each; see nn/blocks.py ResBlock3D.s2d_io)
+        packed = _s2d_block_ok(self.C, self.C, x, self.use_weight_norm)
+        if packed:
+            x = s2d_pack(x)
         for _ in range(self.n_res):
-            x = ResBlock3D(self.C, self.use_weight_norm, axis_name=ax)(x, train)
-        return x
+            x = ResBlock3D(self.C, self.use_weight_norm, axis_name=ax,
+                           s2d_io=packed)(x, train)
+        return s2d_unpack(x) if packed else x

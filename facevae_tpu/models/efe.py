@@ -132,9 +132,16 @@ class EFEConv(nn.Module):
         x = Conv(self.K, 3, 1, 1, dim=3, name="out_conv")(x, train)   # [N,D,h,w,K]
         xc = kp2gaussian_3d_cl(kp_old, x.shape[1:4]).astype(x.dtype)  # [N,D,h,w,K]
         x = jnp.concatenate([x, xc], axis=-1)
+        from facevae_tpu.nn.blocks import _s2d_block_ok
+        from facevae_tpu.nn.layers import s2d_pack, s2d_unpack
+        packed = _s2d_block_ok(2 * self.K, 2 * self.K, x, self.use_weight_norm)
+        if packed:                   # one pack around the whole mix stack
+            x = s2d_pack(x)
         for r in range(self.n_res):
             x = ResBlock3D(2 * self.K, self.use_weight_norm, axis_name=ax,
-                           name=f"mix_{r}")(x, train)
+                           s2d_io=packed, name=f"mix_{r}")(x, train)
+        if packed:
+            x = s2d_unpack(x)
         x = SameBlock3D(2 * self.K, self.K, self.use_weight_norm, axis_name=ax,
                         name="mix_out")(x, train)
         heatmap = out2heatmap_cl(x)

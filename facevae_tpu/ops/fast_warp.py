@@ -418,7 +418,10 @@ def _multi_plan(x, K1, NV):
             or DH % 128 != 0):
         return None
 
-    def pick(per_vb, fixed):
+    def pick(per_vb, fixed, env=None):
+        ov = os.environ.get(env) if env else None
+        if ov:                          # experiment override (bench A/B only)
+            return int(ov)
         for vb in (1024, 512, 256, 128):
             if NV % vb == 0 and fixed + vb * per_vb <= _PALLAS_VMEM_BUDGET:
                 return vb
@@ -426,7 +429,10 @@ def _multi_plan(x, K1, NV):
 
     fused = K1 * C * 4                  # the fwd [VB, K1*C] f32 out block
     rows_b = DH * C * W * 2             # whole-volume rows (fwd reads all G)
-    for G in (1, 2, 4, 8, 16):
+    # experiment knob (bench A/B): force the channel grouping for the C=32
+    # (generator) shape only — a global override would break the C=4 MFE plan
+    g_env = os.environ.get("FACEVAE_MULTI_G") if C == 32 else None
+    for G in ((int(g_env),) if g_env else (1, 2, 4, 8, 16)):
         if C % G:
             continue
         CWg = (C // G) * W
@@ -441,9 +447,12 @@ def _multi_plan(x, K1, NV):
         rows_g = DH * CWg * 2
         plan = {
             "G": G,
-            "fwd": pick(DH * 14 + CWg * 20 + fused, 2 * rows_b),
-            "dgrid": pick(DH * 22 + CWg * 30 + fused_g, 2 * rows_g),
-            "drows": pick(DH * 14 + CWg * 20 + fused_g, 2 * DH * CWg * 4),
+            "fwd": pick(DH * 14 + CWg * 20 + fused, 2 * rows_b,
+                        env="FACEVAE_VB_FWD"),
+            "dgrid": pick(DH * 22 + CWg * 30 + fused_g, 2 * rows_g,
+                          env="FACEVAE_VB_DGRID"),
+            "drows": pick(DH * 14 + CWg * 20 + fused_g, 2 * DH * CWg * 4,
+                          env="FACEVAE_VB_DROWS"),
         }
         if plan["fwd"] is not None and plan["dgrid"] is not None \
                 and plan["drows"] is not None:
