@@ -36,10 +36,19 @@ class ScalarLog:
         else:
             self.log_file = None
 
+    # Reference column order (trainer.py:240-252 weights-dict order, the
+    # order add.txt lines carry).  Metrics dicts arrive ALPHABETIZED by the
+    # jit pytree round-trip, so the order must be reimposed here — it also
+    # anchors quirk q4 ("column -2" = K) to the right column.
+    _G_ORDER = ("P", "G", "F", "E", "L", "H", "D", "C", "K", "R")
+    _D_ORDER = ("G1", "G2")
+
     def log_iter(self, losses_g: Dict[str, float], losses_d: Dict[str, float]) -> None:
         if self.g_names is None:
-            self.g_names = list(losses_g.keys())
-            self.d_names = list(losses_d.keys())
+            self.g_names = ([k for k in self._G_ORDER if k in losses_g]
+                            + [k for k in losses_g if k not in self._G_ORDER])
+            self.d_names = ([k for k in self._D_ORDER if k in losses_d]
+                            + [k for k in losses_d if k not in self._D_ORDER])
         self.g_losses.append([float(losses_g[k]) for k in self.g_names])
         self.d_losses.append([float(losses_d[k]) for k in self.d_names])
 

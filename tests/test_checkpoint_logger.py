@@ -52,6 +52,23 @@ def test_scalar_log_format_and_quirk_q4(tmp_path):
     assert "K - nan" in lines[2]
 
 
+def test_scalar_log_reference_column_order(tmp_path):
+    """Metrics dicts arrive ALPHABETIZED from the jit pytree round-trip; the
+    log must still carry add.txt's column order (P G F E L H D C K R) so
+    curve diffs line up and quirk q4's column -2 is K."""
+    log_path = str(tmp_path / "log.txt")
+    log = ScalarLog(log_path)
+    g = {k: float(i) for i, k in enumerate(sorted("PGFELHDCKR"))}
+    g["K"] = 0.0
+    log.log_iter(g, {"G1": 0.1, "G2": 0.2})
+    log.log_epoch(0)
+    log.close()
+    line = open(log_path).read().splitlines()[0]
+    keys = [seg.split(" - ")[0] for seg in line.split(") ", 1)[1].split("; ")]
+    assert keys == ["P", "G", "F", "E", "L", "H", "D", "C", "K", "R"]
+    assert "K - nan" in line                   # q4 anchored to the K column
+
+
 def test_visualizer_grid(rng, tmp_path):
     N, H, K, D, K1 = 2, 16, 3, 4, 4
     vis = Visualizer(kp_size=2)
