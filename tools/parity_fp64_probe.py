@@ -107,15 +107,29 @@ def main():
         cfg.loss, pretrained_dir=str(tmp)))
     _convert_teachers(ref, tmp)
 
-    torch.manual_seed(300)           # same init as tools/parity_train.py
-    g32 = ref.trainer.GeneratorFull(
-        ref.models.EFE_conv5(), ref.models.AFE(), ref.models.CKD(),
-        ref.models.HPE_EDE(), ref.models.MFE(), ref.models.Generator(),
-        ref.models.Discriminator(), pretrained_path=ref.hopenet_path).train()
-    d32 = ref.trainer.DiscriminatorFull(g32.discriminator).train()
+    def build_stack():
+        # deterministic given the seed — construction IS the copy mechanism
+        # (deepcopy chokes on the jit-scripted loss internals)
+        torch.manual_seed(300)       # same init as tools/parity_train.py
+        g = ref.trainer.GeneratorFull(
+            ref.models.EFE_conv5(), ref.models.AFE(), ref.models.CKD(),
+            ref.models.HPE_EDE(), ref.models.MFE(), ref.models.Generator(),
+            ref.models.Discriminator(), pretrained_path=ref.hopenet_path).train()
+        return g, ref.trainer.DiscriminatorFull(g.discriminator).train()
 
-    g64 = copy.deepcopy(g32).double()
-    d64 = ref.trainer.DiscriminatorFull(g64.discriminator).train()
+    g32, d32 = build_stack()
+    g64, d64 = build_stack()
+    g64.double()
+    # GeneratorFull keeps its loss modules in a PLAIN dict (trainer.py:253) —
+    # they are not registered submodules, so .double() misses the VGG
+    # teachers / contrastive head inside them
+    for m in g64.losses.values():
+        if isinstance(m, torch.nn.Module):
+            m.double()
+    for p32, p64 in zip(g32.parameters(), g64.parameters()):
+        assert p32.shape == p64.shape
+        if not torch.equal(p32.double(), p64):
+            raise SystemExit("fp64 twin construction diverged from fp32 stack")
 
     lr = cfg.train.lr
 
