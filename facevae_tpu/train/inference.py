@@ -43,45 +43,69 @@ class InferencePipeline:
     def _apply(self, name, *args, **kwargs):
         return self.models[name].apply(self._vars[name], *args, train=False, **kwargs)
 
+    def _jit(self, fn):
+        """jit with the variable trees as ARGUMENTS, not closure constants.
+
+        Closing over self._vars inlines every weight as a literal in the
+        compiled program — at the flagship config the serialized compile
+        request exceeds the remote-compile helper's body limit (HTTP 413)
+        and defeats weight-donation/caching.  fn receives a `vars` dict and
+        an `apply(name, ...)` helper bound to it."""
+        jitted = jax.jit(fn)
+
+        def call(*args, **kwargs):
+            return jitted(self._vars, *args, **kwargs)
+
+        return call
+
+    def _bound_apply(self, variables):
+        def apply(name, *args, **kwargs):
+            return self.models[name].apply(variables[name], *args,
+                                           train=False, **kwargs)
+        return apply
+
     @functools.cached_property
     def encode_source(self):
         """source image -> (fs, kp_c, kp_s, Rs)"""
-        def fn(s):
-            fs = self._apply("afe", s)
-            kp_c = self._apply("ckd", s)
-            yaw, pitch, roll, t, scale = self._apply("hpe_ede", s)
+        def fn(variables, s):
+            apply = self._bound_apply(variables)
+            fs = apply("afe", s)
+            kp_c = apply("ckd", s)
+            yaw, pitch, roll, t, scale = apply("hpe_ede", s)
             kp_s_old, Rs = transform_kp(kp_c, yaw, pitch, roll, t, scale)
             if self.use_efe:
-                kp_s, *_ = self._apply("efe", s, None, kp_s_old)
+                kp_s, *_ = apply("efe", s, None, kp_s_old)
             else:
                 kp_s = kp_s_old
             return fs, kp_c, kp_s, Rs
-        return jax.jit(fn)
+        return self._jit(fn)
 
     @functools.cached_property
     def drive_frame(self):
         """(fs, kp_c, kp_s, Rs, driving frame) -> generated image"""
-        def fn(fs, kp_c, kp_s, Rs, img):
-            yaw, pitch, roll, t, scale = self._apply("hpe_ede", img)
+        def fn(variables, fs, kp_c, kp_s, Rs, img):
+            apply = self._bound_apply(variables)
+            yaw, pitch, roll, t, scale = apply("hpe_ede", img)
             kp_d_old, Rd = transform_kp(kp_c, yaw, pitch, roll, t, scale)
             if self.use_efe:
-                kp_d, *_ = self._apply("efe", img, None, kp_d_old)
+                kp_d, *_ = apply("efe", img, None, kp_d_old)
             else:
                 kp_d = kp_d_old
-            deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_d, Rs, Rd)
-            return self._apply("generator", fs, deformation, occlusion)
-        return jax.jit(fn)
+            deformation, occlusion, _ = apply("mfe", fs, kp_s, kp_d, Rs, Rd)
+            return apply("generator", fs, deformation, occlusion)
+        return self._jit(fn)
 
     @functools.cached_property
     def frontalize_frame(self):
         """frame -> frontalized frame (zero pose, reference evaluate.py:46-66)."""
-        def fn(img):
-            fs = self._apply("afe", img)
-            kp_c = self._apply("ckd", img)
-            yaw, pitch, roll, t, scale = self._apply("hpe_ede", img)
+        def fn(variables, img):
+            apply = self._bound_apply(variables)
+            fs = apply("afe", img)
+            kp_c = apply("ckd", img)
+            yaw, pitch, roll, t, scale = apply("hpe_ede", img)
             kp_s_old, Rs = transform_kp(kp_c, yaw, pitch, roll, t, scale)
             if self.use_efe:
-                kp_s, *_ = self._apply("efe", img, None, kp_s_old)
+                kp_s, *_ = apply("efe", img, None, kp_s_old)
                 delta = kp_s - kp_s_old
             else:
                 kp_s = kp_s_old
@@ -92,9 +116,9 @@ class InferencePipeline:
             kp_d, Rd = transform_kp_with_new_pose(kp_c * scale.reshape(-1, 1, 1),
                                                   yaw, pitch, roll, t,
                                                   delta, zero, zero, zero)
-            deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_d, Rs, Rd)
-            return self._apply("generator", fs, deformation, occlusion)
-        return jax.jit(fn)
+            deformation, occlusion, _ = apply("mfe", fs, kp_s, kp_d, Rs, Rd)
+            return apply("generator", fs, deformation, occlusion)
+        return self._jit(fn)
 
     @functools.cached_property
     def sample_expression(self):
@@ -102,34 +126,36 @@ class InferencePipeline:
 
         Runs EFE in train_vae mode with injected noise: z = mu + exp(logstd)*eps.
         """
-        def fn(img, key, temperature):
-            fs = self._apply("afe", img)
-            kp_c = self._apply("ckd", img)
-            yaw, pitch, roll, t, scale = self._apply("hpe_ede", img)
+        def fn(variables, img, key, temperature):
+            apply = self._bound_apply(variables)
+            fs = apply("afe", img)
+            kp_c = apply("ckd", img)
+            yaw, pitch, roll, t, scale = apply("hpe_ede", img)
             kp_old, Rs = transform_kp(kp_c, yaw, pitch, roll, t, scale)
-            kp_s, *_ = self._apply("efe", img, None, kp_old)
+            kp_s, *_ = apply("efe", img, None, kp_old)
             kp_d, *_ = self.models["efe"].apply(
-                self._vars["efe"], img, None, kp_old, train_vae=True, train=False,
+                variables["efe"], img, None, kp_old, train_vae=True, train=False,
                 rngs={"noise": key})
             kp_d = kp_s + temperature * (kp_d - kp_s)
-            deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_d, Rs, Rs)
-            return self._apply("generator", fs, deformation, occlusion)
-        return jax.jit(fn)
+            deformation, occlusion, _ = apply("mfe", fs, kp_s, kp_d, Rs, Rs)
+            return apply("generator", fs, deformation, occlusion)
+        return self._jit(fn)
 
     @functools.cached_property
     def interpolate_expression(self):
         """(source frame, target frame, alpha) -> image with kp lerped between
         the two frames' expressions (latent interpolation graph)."""
-        def fn(s, d, alpha):
-            fs = self._apply("afe", s)
-            kp_c = self._apply("ckd", s)
-            yaw, pitch, roll, t, scale = self._apply("hpe_ede", jnp.concatenate([s, d]))
+        def fn(variables, s, d, alpha):
+            apply = self._bound_apply(variables)
+            fs = apply("afe", s)
+            kp_c = apply("ckd", s)
+            yaw, pitch, roll, t, scale = apply("hpe_ede", jnp.concatenate([s, d]))
             n = s.shape[0]
             kp_s_old, Rs = transform_kp(kp_c, yaw[:n], pitch[:n], roll[:n], t[:n], scale[:n])
             kp_d_old, Rd = transform_kp(kp_c, yaw[n:], pitch[n:], roll[n:], t[n:], scale[n:])
-            kp_s, *_ = self._apply("efe", s, None, kp_s_old)
-            kp_d, *_ = self._apply("efe", d, None, kp_d_old)
+            kp_s, *_ = apply("efe", s, None, kp_s_old)
+            kp_d, *_ = apply("efe", d, None, kp_d_old)
             kp_mix = (1 - alpha) * kp_s + alpha * kp_d
-            deformation, occlusion, _ = self._apply("mfe", fs, kp_s, kp_mix, Rs, Rd)
-            return self._apply("generator", fs, deformation, occlusion)
-        return jax.jit(fn)
+            deformation, occlusion, _ = apply("mfe", fs, kp_s, kp_mix, Rs, Rd)
+            return apply("generator", fs, deformation, occlusion)
+        return self._jit(fn)
