@@ -113,10 +113,11 @@ class BatchedEngine:
         return self._submit("front", None, img, timeout)
 
     def warmup(self):
-        """Compile the batched graphs before serving traffic."""
+        """Compile the batched graphs before serving traffic (a fresh
+        256² compile takes minutes — don't use the serving timeout)."""
         self.set_source("_warm", self._zero[0])
-        self.drive("_warm", self._zero[0])
-        self.frontalize(self._zero[0])
+        self.drive("_warm", self._zero[0], timeout=3600.0)
+        self.frontalize(self._zero[0], timeout=3600.0)
         with self.lock:
             self.sessions.pop("_warm", None)
         self.stats.update(batches=0, frames=0, padded=0)
