@@ -51,24 +51,27 @@ def warp_coordinates(tp: TransformParams, coordinates: jnp.ndarray) -> jnp.ndarr
     return transformed + radial
 
 
-def transform_frame(tp: TransformParams, frame: jnp.ndarray) -> jnp.ndarray:
+def transform_frame(tp: TransformParams, frame: jnp.ndarray,
+                    compute_dtype=None) -> jnp.ndarray:
     """Warp frame [N,H,W,C] by the (inverse-sampled) TPS grid.
 
     Reference trainer.py:106-110: grid_sample 2D, align_corners=True,
     reflection padding.
 
-    bf16 frames on TPU take the one-hot MXU path: reflection is applied to
-    the UNNORMALIZED coordinates up front (pre-reflected coords make
-    reflection padding plain interior sampling — same _reflect formula as
-    grid_sample_2d), then the warp runs through the fused Pallas multi-warp
-    machinery as a D=1 volume.  fp32 keeps the exact gather path (parity)."""
+    With compute_dtype=bfloat16 AND a fitting Pallas plan (TPU), the warp
+    takes the one-hot MXU path: reflection is applied to the UNNORMALIZED
+    coordinates up front (pre-reflected coords make reflection padding plain
+    interior sampling — same _reflect formula as grid_sample_2d), then the
+    warp runs through the fused multi-warp machinery as a D=1 volume.
+    Everywhere else (fp32, CPU fallback) the EXACT fp32 gather runs on the
+    unquantized frame — parity and the bf16-vs-fp32 A/B stay clean."""
     N, H, W, C = frame.shape
     grid = make_coordinate_grid_2d((H, W), jnp.float32).reshape(1, H * W, 2)
     grid = warp_coordinates(tp, grid).reshape(N, H, W, 2)
-    if frame.dtype == jnp.bfloat16:
+    if compute_dtype == jnp.bfloat16:
         from facevae_tpu.ops.fast_warp import warp_multi_pixel, _multi_plan
         from facevae_tpu.ops.grid_sample import _reflect
-        x = frame[:, None]                                   # [N,1,H,W,C]
+        x = frame.astype(jnp.bfloat16)[:, None]              # [N,1,H,W,C]
         if _multi_plan(x, 1, H * W) is not None:
             def px(g, n):
                 p = (g + 1.0) * 0.5 * (n - 1)
@@ -77,7 +80,6 @@ def transform_frame(tp: TransformParams, frame: jnp.ndarray) -> jnp.ndarray:
             gx = px(grid[..., 0], W).reshape(N, 1, H * W)
             gy = px(grid[..., 1], H).reshape(N, 1, H * W)
             out = warp_multi_pixel(x, gx, gy, jnp.zeros_like(gx), (1, H, W))
-            return out.reshape(N, H, W, C).astype(frame.dtype)
+            return out.reshape(N, H, W, C).astype(jnp.bfloat16)
     return grid_sample_2d(frame.astype(jnp.float32), grid,
-                          align_corners=True, padding_mode="reflection"
-                          ).astype(frame.dtype)
+                          align_corners=True, padding_mode="reflection")

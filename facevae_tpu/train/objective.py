@@ -115,9 +115,11 @@ def generator_forward(models: Dict[str, Any], teachers: Dict[str, Any],
         tp = random_transform_params(rng_tps, N, sigma_affine=cfg.train.sigma_affine,
                                      sigma_tps=cfg.train.sigma_tps,
                                      points_tps=cfg.train.points_tps, dtype=jnp.float32)
-    # bf16 mode warps in bf16 (MXU one-hot path in transform_frame, on par
-    # with the model's activation precision); fp32 keeps the exact gather
-    transformed_d = transform_frame(tp, d.astype(cdt))
+    # bf16 mode warps on the MXU (one-hot path in transform_frame, on par
+    # with the model's activation precision) when the Pallas plan fits;
+    # otherwise (fp32 / CPU) the exact fp32 gather runs
+    transformed_d = transform_frame(tp, d.astype(jnp.float32),
+                                    compute_dtype=cdt)
     cated = jnp.concatenate([s_c, d_c, transformed_d.astype(cdt)], axis=0)
 
     yaw, pitch, roll, t, scale = bank.apply("hpe_ede", models["hpe_ede"], cated,

@@ -135,7 +135,8 @@ def check_tps(N=8, H=256, W=256):
     tp = random_transform_params(jax.random.PRNGKey(3), N,
                                  sigma_affine=0.2, sigma_tps=0.02)
     exact = jax.jit(lambda f: transform_frame(tp, f))(frame)
-    fast = jax.jit(lambda f: transform_frame(tp, f.astype(jnp.bfloat16)))(frame)
+    fast = jax.jit(lambda f: transform_frame(
+        tp, f, compute_dtype=jnp.bfloat16))(frame)
     d = jnp.max(jnp.abs(exact - fast.astype(jnp.float32)))
     print(f"tps warp (N={N}, {H}x{W}): bf16-vs-fp32 max abs diff "
           f"{float(d):.5f} (pixel scale 1.0)")
