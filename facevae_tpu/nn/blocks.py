@@ -32,15 +32,15 @@ def _nonlinearity(kind: str, x):
 
 
 def _s2d_block_ok(in_ch, out_ch, x, use_weight_norm, min_h=32):
-    """Space-to-depth packed execution for a whole 3D NAC/CNA chain: worth it
-    for small-channel stacks at real spatial sizes (the per-conv variant
-    measured a net LOSS from pack/unpack churn around norm/act — whole
-    chains run packed, so boundaries only exist at block edges where XLA can
-    cancel adjacent unpack/pack pairs)."""
+    """Space-to-depth packed execution for a whole NAC/CNA chain (2D or 3D):
+    worth it for small-channel stacks at real spatial sizes (the per-conv
+    variant measured a net LOSS from pack/unpack churn around norm/act —
+    whole chains run packed, so boundaries only exist at block edges where
+    XLA can cancel adjacent unpack/pack pairs)."""
+    H, W = x.shape[-3], x.shape[-2]
     return (_s2d_enabled() and not use_weight_norm
-            and in_ch <= 64 and out_ch <= 64 and x.ndim == 5
-            and x.shape[2] >= min_h
-            and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
+            and in_ch <= 64 and out_ch <= 64 and x.ndim in (4, 5)
+            and H >= min_h and H % 2 == 0 and W % 2 == 0)
 
 
 class ConvBlock(nn.Module):
@@ -100,6 +100,13 @@ class DownBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if _s2d_block_ok(self.in_channels, self.out_channels, x,
+                         self.use_weight_norm):
+            xp = ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
+                           self.use_weight_norm, dim=2,
+                           axis_name=self.axis_name, s2d_io=True)(s2d_pack(x), train)
+            n, m, mx, c4 = xp.shape
+            return xp.reshape(n, m, mx, 4, c4 // 4).mean(3)
         x = ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
                       self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
         return avg_pool_2d(x, 2)
@@ -139,6 +146,13 @@ class UpBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if _s2d_block_ok(self.in_channels, self.out_channels, x,
+                         self.use_weight_norm, min_h=16):
+            xp = jnp.tile(x, (1,) * (x.ndim - 1) + (4,))
+            xp = ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
+                           self.use_weight_norm, dim=2,
+                           axis_name=self.axis_name, s2d_io=True)(xp, train)
+            return s2d_unpack(xp)
         x = upsample_nearest_2d(x, 2)
         return ConvBlock("CNA", self.in_channels, self.out_channels, 3, 1, 1,
                          self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
@@ -200,9 +214,22 @@ class ResBlock2D(nn.Module):
     channels: int
     use_weight_norm: bool = False
     axis_name: Optional[str] = None
+    s2d_io: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        packed_here = not self.s2d_io and _s2d_block_ok(
+            self.channels, self.channels, x, self.use_weight_norm)
+        if self.s2d_io or packed_here:
+            xp = s2d_pack(x) if packed_here else x
+            hp = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
+                           self.use_weight_norm, dim=2,
+                           axis_name=self.axis_name, s2d_io=True)(xp, train)
+            hp = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
+                           self.use_weight_norm, dim=2,
+                           axis_name=self.axis_name, s2d_io=True)(hp, train)
+            out = xp + hp
+            return s2d_unpack(out) if packed_here else out
         h = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,
                       self.use_weight_norm, dim=2, axis_name=self.axis_name)(x, train)
         h = ConvBlock("NAC", self.channels, self.channels, 3, 1, 1,

@@ -96,10 +96,11 @@ class Conv(nn.Module):
 
         dtype = self.dtype or x.dtype
         if self.s2d_io:
-            assert (d == 3 and ks == (3, 3, 3) and st == (1, 1, 1)
-                    and pd == (1, 1, 1) and not self.use_spectral_norm), \
-                "s2d_io requires a 3x3x3 stride-1 SAME conv"
-            y = _s2d_conv3d_packed(x.astype(dtype), kernel.astype(dtype))
+            assert (d in (2, 3) and ks == (3,) * d and st == (1,) * d
+                    and pd == (1,) * d and not self.use_spectral_norm), \
+                "s2d_io requires a 3^d stride-1 SAME conv"
+            packed_conv = _s2d_conv3d_packed if d == 3 else _s2d_conv2d_packed
+            y = packed_conv(x.astype(dtype), kernel.astype(dtype))
             if self.use_bias:
                 bias = self.param("bias", torch_bias_init(fan_in),
                                   (self.features,))
@@ -155,18 +156,23 @@ def _s2d_phase_indicator():
 
 
 def s2d_pack(x):
-    """[N,D,H,W,C] -> [N,D,H/2,W/2,4C], lane index = (py*2+px)*C + c."""
-    N, D, H, W, C = x.shape
-    return (x.reshape(N, D, H // 2, 2, W // 2, 2, C)
-            .transpose(0, 1, 2, 4, 3, 5, 6).reshape(N, D, H // 2, W // 2, 4 * C))
+    """[..., H, W, C] -> [..., H/2, W/2, 4C], lane index = (py*2+px)*C + c.
+    Works for 2D ([N,H,W,C]) and 3D ([N,D,H,W,C]) tensors."""
+    *lead, H, W, C = x.shape
+    nd = len(lead)
+    x = x.reshape(*lead, H // 2, 2, W // 2, 2, C)
+    perm = tuple(range(nd)) + (nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    return x.transpose(perm).reshape(*lead, H // 2, W // 2, 4 * C)
 
 
 def s2d_unpack(xp):
     """Inverse of s2d_pack."""
-    N, D, M, Mx, C4 = xp.shape
+    *lead, M, Mx, C4 = xp.shape
+    nd = len(lead)
     C = C4 // 4
-    return (xp.reshape(N, D, M, Mx, 2, 2, C)
-            .transpose(0, 1, 2, 4, 3, 5, 6).reshape(N, D, 2 * M, 2 * Mx, C))
+    xp = xp.reshape(*lead, M, Mx, 2, 2, C)
+    perm = tuple(range(nd)) + (nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    return xp.transpose(perm).reshape(*lead, 2 * M, 2 * Mx, C)
 
 
 def _s2d_conv3d_packed(xp, kernel):
@@ -181,6 +187,19 @@ def _s2d_conv3d_packed(xp, kernel):
     dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
                                         ("NDHWC", "DHWIO", "NDHWC"))
     return jax.lax.conv_general_dilated(xp, wp, (1, 1, 1), [(1, 1)] * 3,
+                                        dimension_numbers=dn)
+
+
+def _s2d_conv2d_packed(xp, kernel):
+    """3x3 stride-1 SAME 2D conv on a PACKED tensor [N,M,Mx,4Ci] -> packed
+    [N,M,Mx,4Co] (2D sibling of _s2d_conv3d_packed)."""
+    Ci, Co = kernel.shape[2], kernel.shape[3]
+    E = jnp.asarray(_s2d_phase_indicator(), kernel.dtype)
+    wp = jnp.einsum("tpqd,TPQD,dDio->tTpPiqQo", E, E, kernel)
+    wp = wp.reshape(3, 3, 4 * Ci, 4 * Co)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(xp, wp, (1, 1), [(1, 1)] * 2,
                                         dimension_numbers=dn)
 
 

@@ -70,9 +70,15 @@ def test_s2d_blocks_exact(rng, monkeypatch):
     (lane-grouped reduction) and kernel grads."""
     from facevae_tpu.nn import ResBlock3D, DownBlock3D, UpBlock3D
 
+    from facevae_tpu.nn import ResBlock2D, DownBlock2D, UpBlock2D
+
     x = jnp.asarray(rng.randn(2, 4, 32, 32, 6), np.float32)
+    x2 = jnp.asarray(rng.randn(2, 32, 32, 6), np.float32)
     for mod, xin in ((ResBlock3D(6), x), (DownBlock3D(6, 8), x),
                      (UpBlock3D(6, 8), jnp.asarray(rng.randn(2, 4, 16, 16, 6),
+                                                   np.float32)),
+                     (ResBlock2D(6), x2), (DownBlock2D(6, 8), x2),
+                     (UpBlock2D(6, 8), jnp.asarray(rng.randn(2, 16, 16, 6),
                                                    np.float32))):
         monkeypatch.setenv("FACEVAE_S2D", "0")
         v = mod.init(jax.random.PRNGKey(0), xin)
