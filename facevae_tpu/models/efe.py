@@ -129,14 +129,27 @@ class EFEConv(nn.Module):
                 x = UpBlock3D(self.up_seq[i], self.up_seq[i + 1],
                               self.use_weight_norm, axis_name=ax,
                               name=f"up_{i}")(x, train)
-        x = Conv(self.K, 3, 1, 1, dim=3, name="out_conv")(x, train)   # [N,D,h,w,K]
-        xc = kp2gaussian_3d_cl(kp_old, x.shape[1:4]).astype(x.dtype)  # [N,D,h,w,K]
-        x = jnp.concatenate([x, xc], axis=-1)
         from facevae_tpu.nn.blocks import _s2d_block_ok
         from facevae_tpu.nn.layers import s2d_pack, s2d_unpack
-        packed = _s2d_block_ok(2 * self.K, 2 * self.K, x, self.use_weight_norm)
-        if packed:                   # one pack around the whole mix stack
-            x = s2d_pack(x)
+        # the whole tail (out_conv -> gaussian concat -> mix stack) runs
+        # packed: out_conv is a bare 3x3x3 conv, the gaussians are packed,
+        # and the concat interleaves per phase so channel order matches the
+        # unpacked layout exactly
+        packed = _s2d_block_ok(x.shape[-1], 2 * self.K, x, self.use_weight_norm)
+        if packed:
+            xp = s2d_pack(x)
+            xp = Conv(self.K, 3, 1, 1, dim=3, s2d_io=True,
+                      name="out_conv")(xp, train)               # [..,4K]
+            xc = kp2gaussian_3d_cl(kp_old, x.shape[1:4]).astype(xp.dtype)
+            xcp = s2d_pack(xc)
+            n, d, m, mx, _ = xp.shape
+            x = jnp.concatenate([xp.reshape(n, d, m, mx, 4, self.K),
+                                 xcp.reshape(n, d, m, mx, 4, self.K)],
+                                axis=-1).reshape(n, d, m, mx, 8 * self.K)
+        else:
+            x = Conv(self.K, 3, 1, 1, dim=3, name="out_conv")(x, train)  # [N,D,h,w,K]
+            xc = kp2gaussian_3d_cl(kp_old, x.shape[1:4]).astype(x.dtype)
+            x = jnp.concatenate([x, xc], axis=-1)
         for r in range(self.n_res):
             x = ResBlock3D(2 * self.K, self.use_weight_norm, axis_name=ax,
                            s2d_io=packed, name=f"mix_{r}")(x, train)

@@ -96,9 +96,12 @@ class Conv(nn.Module):
 
         dtype = self.dtype or x.dtype
         if self.s2d_io:
-            assert (d in (2, 3) and ks == (3,) * d and st == (1,) * d
-                    and pd == (1,) * d and not self.use_spectral_norm), \
-                "s2d_io requires a 3^d stride-1 SAME conv"
+            ok2d = d == 2 and ks[0] == ks[1] and ks[0] % 2 == 1 \
+                and pd == (ks[0] // 2,) * 2
+            ok3d = d == 3 and ks == (3, 3, 3) and pd == (1, 1, 1)
+            assert ((ok2d or ok3d) and st == (1,) * d
+                    and not self.use_spectral_norm), \
+                "s2d_io requires an odd-k stride-1 SAME conv (3^3 for 3D)"
             packed_conv = _s2d_conv3d_packed if d == 3 else _s2d_conv2d_packed
             y = packed_conv(x.astype(dtype), kernel.astype(dtype))
             if self.use_bias:
@@ -141,17 +144,21 @@ def _s2d_enabled() -> bool:
     return v not in ("0", "false", "")
 
 
-def _s2d_phase_indicator():
-    """E[t, p, q, d] = 1 iff the original tap offset (d-1) equals
-    2*(t-1) + p - q: output phase q at packed tap t reads input phase p."""
+def _s2d_phase_indicator(k: int = 3):
+    """E[t, p, q, d] = 1 iff the original tap offset (d - k//2) equals
+    2*(t - rt) + p - q: output phase q at packed tap t reads input phase p.
+    For odd k the packed kernel has kp = 2*((k//2 + 1)//2) + 1 taps."""
     import numpy as np
-    E = np.zeros((3, 2, 2, 3), np.float32)
-    for t in range(3):
+    r = k // 2
+    rt = (r + 1) // 2
+    kp = 2 * rt + 1
+    E = np.zeros((kp, 2, 2, k), np.float32)
+    for t in range(kp):
         for p in range(2):
             for q in range(2):
-                dy = 2 * (t - 1) + p - q
-                if -1 <= dy <= 1:
-                    E[t, p, q, dy + 1] = 1.0
+                dy = 2 * (t - rt) + p - q
+                if -r <= dy <= r:
+                    E[t, p, q, dy + r] = 1.0
     return E
 
 
@@ -191,15 +198,18 @@ def _s2d_conv3d_packed(xp, kernel):
 
 
 def _s2d_conv2d_packed(xp, kernel):
-    """3x3 stride-1 SAME 2D conv on a PACKED tensor [N,M,Mx,4Ci] -> packed
-    [N,M,Mx,4Co] (2D sibling of _s2d_conv3d_packed)."""
-    Ci, Co = kernel.shape[2], kernel.shape[3]
-    E = jnp.asarray(_s2d_phase_indicator(), kernel.dtype)
+    """Odd-k stride-1 SAME 2D conv on a PACKED tensor [N,M,Mx,4Ci] -> packed
+    [N,M,Mx,4Co] (2D sibling of _s2d_conv3d_packed; k=7 serves the
+    generator's out_conv)."""
+    k, _, Ci, Co = kernel.shape
+    E = jnp.asarray(_s2d_phase_indicator(k), kernel.dtype)
+    kp = E.shape[0]
     wp = jnp.einsum("tpqd,TPQD,dDio->tTpPiqQo", E, E, kernel)
-    wp = wp.reshape(3, 3, 4 * Ci, 4 * Co)
+    wp = wp.reshape(kp, kp, 4 * Ci, 4 * Co)
     dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
                                         ("NHWC", "HWIO", "NHWC"))
-    return jax.lax.conv_general_dilated(xp, wp, (1, 1), [(1, 1)] * 2,
+    return jax.lax.conv_general_dilated(xp, wp, (1, 1),
+                                        [(kp // 2, kp // 2)] * 2,
                                         dimension_numbers=dn)
 
 

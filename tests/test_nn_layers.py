@@ -119,6 +119,40 @@ def test_s2d_blocks_exact(rng, monkeypatch):
     assert ResBlock3D(6).apply(v2, x_odd, train=False).shape == x_odd.shape
 
 
+def test_conv2d_7x7_packed_exact(rng, monkeypatch):
+    """Odd-k (7x7) phase-packed 2D conv equals the direct conv (the
+    generator's out_conv geometry, 64->3)."""
+    from facevae_tpu.nn.layers import s2d_pack, s2d_unpack
+
+    x = jnp.asarray(rng.randn(2, 32, 32, 10), np.float32)
+    m_dir = Conv(3, 7, 1, 3, dim=2)
+    m_pack = Conv(3, 7, 1, 3, dim=2, s2d_io=True)
+    v = m_dir.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(m_dir.apply(v, x))
+    got = np.asarray(s2d_unpack(m_pack.apply(v, s2d_pack(x))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_efe_packed_tail_exact(rng, monkeypatch):
+    """EFE's packed tail (out_conv -> phase-interleaved gaussian concat ->
+    mix stack) is the same function as the direct path."""
+    from facevae_tpu.models.efe import EFEConv
+
+    m = EFEConv(variant="conv4", down_seq=(3, 8), up_seq=(8, 8), D=4, K=5,
+                n_res=1, scale_factor=0.25, use_vae=False)
+    x = jnp.asarray(rng.rand(2, 128, 128, 3), np.float32)
+    kp = jnp.asarray(rng.rand(2, 5, 3) * 0.5, np.float32)
+    monkeypatch.setenv("FACEVAE_S2D", "0")
+    v = m.init(jax.random.PRNGKey(0), x, None, kp)
+    kp0, *_ = m.apply(v, x, None, kp, train=False)
+    monkeypatch.setenv("FACEVAE_S2D", "1")
+    v1 = m.init(jax.random.PRNGKey(0), x, None, kp)
+    assert jax.tree.map(jnp.shape, v1) == jax.tree.map(jnp.shape, v)
+    kp1, *_ = m.apply(v, x, None, kp, train=False)
+    np.testing.assert_allclose(np.asarray(kp1), np.asarray(kp0),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_conv3d_parity(rng):
     x = rng.randn(2, 4, 8, 8, 3).astype(np.float32)
     m = Conv(5, 3, strides=1, padding=1, dim=3)
