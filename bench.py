@@ -48,6 +48,20 @@ def main():
                                      (batch_size, 256, 256, 3))
                   for i in range(4))
 
+    flops = 0.0
+    try:
+        # XLA-counted step FLOPs (computed before the run — donated buffers
+        # are invalid afterwards; lower() needs only shapes).  This INCLUDES
+        # the dense-formulation overhead of the banded/s2d convs but NOT the
+        # Pallas warp kernels' internal matmuls (custom calls count 0) —
+        # see PERF.md roofline for the full executed-FLOP accounting.
+        cost = step.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+
     # warmup / compile.  NOTE: block_until_ready is unreliable on this
     # runtime (buffer futures resolve before device execution completes);
     # only a device->host READ is a hard sync.  Verified against
@@ -64,14 +78,21 @@ def main():
 
     fps = batch_size * steps / dt
     baseline = TARGET_MULTIPLIER * A100_REFERENCE_FPS_ESTIMATE
-    print(json.dumps({
+    out = {
         "metric": "train_frames_per_sec_per_chip",
         "config": f"256x256 full model, batch {batch_size}, {dtype}",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
         "baseline_is_estimate": True,  # reference publishes no numbers; see BASELINE.md
-    }))
+    }
+    if flops > 0:
+        # honest efficiency figure alongside the estimated-baseline ratio
+        step_dt = dt / steps
+        out["xla_tflops_per_step"] = round(flops / 1e12, 2)
+        out["xla_flops_utilization_pct_v5e"] = round(
+            flops / step_dt / 197e12 * 100, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
