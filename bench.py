@@ -59,8 +59,10 @@ def main():
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
-    except Exception:
-        pass
+    except (AttributeError, KeyError, TypeError) as e:
+        # e.g. the mesh dispatch path has no .lower, or cost_analysis schema
+        # changed — report rather than silently dropping the utilization line
+        print(f"# FLOPs counting skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     # warmup / compile.  NOTE: block_until_ready is unreliable on this
     # runtime (buffer futures resolve before device execution completes);

@@ -262,6 +262,7 @@ def fuse_wn(params: Dict[str, Any],
     `transpose_paths` (fold on axis 1) — inferring the axis there would
     silently fold along the wrong axis for square transpose layers."""
     transpose_set = {tuple(p) for p in transpose_paths}
+    consumed = set()
 
     def visit(node, path):
         if not isinstance(node, dict):
@@ -270,6 +271,7 @@ def fuse_wn(params: Dict[str, Any],
             w, g = node["weight"], node["g"]
             o = g.shape[0]
             if path in transpose_set:
+                consumed.add(path)
                 axis = 1
             elif w.ndim > 2 and w.shape[0] == o and w.shape[1] == o:
                 return node          # ambiguous square layout: skip (see doc)
@@ -285,4 +287,11 @@ def fuse_wn(params: Dict[str, Any],
             return out
         return {k: visit(v, path + (k,)) for k, v in node.items()}
 
-    return visit(params, ())
+    fused = visit(params, ())
+    leftover = transpose_set - consumed
+    if leftover:
+        # a typo'd path would otherwise silently leave its layer unfused
+        # (forward still correct, but the caller's intent dropped)
+        raise ValueError(f"fuse_wn: transpose_paths not found in the tree: "
+                         f"{sorted(leftover)}")
+    return fused

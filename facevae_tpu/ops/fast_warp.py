@@ -419,9 +419,18 @@ def _multi_plan(x, K1, NV):
         return None
 
     def pick(per_vb, fixed, env=None):
-        ov = os.environ.get(env) if env else None
-        if ov:                          # experiment override (bench A/B only)
-            return int(ov)
+        # experiment overrides (bench A/B only) are gated on the generator's
+        # C==32 shape — a global override would leak into the MFE/TPS plans,
+        # whose NV differs — and must divide NV: grid=(N, G, NV//VB) silently
+        # drops trailing voxels otherwise.
+        ov = os.environ.get(env) if env and C == 32 else None
+        if ov:
+            vb = int(ov)
+            if NV % vb != 0:
+                raise ValueError(
+                    f"{env}={vb} does not divide NV={NV}; the kernel grid "
+                    "would drop trailing voxels")
+            return vb
         for vb in (1024, 512, 256, 128):
             if NV % vb == 0 and fixed + vb * per_vb <= _PALLAS_VMEM_BUDGET:
                 return vb

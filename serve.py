@@ -124,36 +124,45 @@ class BatchedEngine:
 
     # -- collector ---------------------------------------------------------
     def _run(self):
-        carry = None                  # first request of the NEXT batch kind
+        # Per-kind pending lists: mixed /drive + /frontalize traffic batches
+        # independently per graph instead of degrading to batch-1 flushes on
+        # every kind switch.  A kind flushes when it reaches max_batch or its
+        # oldest request has waited window_s; fuller kinds flush first.
+        pending = {}              # kind -> [requests]
+        deadlines = {}            # kind -> monotonic deadline of oldest request
         while not self._stop:
-            if carry is not None:
-                first, carry = carry, None
-            else:
-                try:
-                    first = self.requests.get(timeout=0.1)
-                except queue.Empty:
-                    continue
-            kind = first[0]
-            batch = [first]
-            deadline = time.monotonic() + self.window_s
-            while len(batch) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    req = self.requests.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if req[0] != kind:    # different graph: flush, start anew
-                    carry = req
-                    break
-                batch.append(req)
+            timeout = 0.1
+            if deadlines:
+                timeout = min(0.1, max(0.0, min(deadlines.values())
+                                       - time.monotonic()))
             try:
-                self._flush(kind, batch)
-            except Exception as e:                    # fan the error out
-                for _, _, _, slot, done in batch:
-                    slot["error"] = repr(e)
-                    done.set()
+                req = self.requests.get(timeout=timeout)
+            except queue.Empty:
+                req = None
+            while req is not None:   # drain everything already queued
+                pending.setdefault(req[0], []).append(req)
+                deadlines.setdefault(req[0], time.monotonic() + self.window_s)
+                try:
+                    req = self.requests.get_nowait()
+                except queue.Empty:
+                    req = None
+            now = time.monotonic()
+            ready = [k for k, b in pending.items()
+                     if len(b) >= self.max_batch or now >= deadlines[k]]
+            for kind in sorted(ready, key=lambda k: -len(pending[k])):
+                batch = pending[kind][:self.max_batch]
+                rest = pending[kind][self.max_batch:]
+                if rest:
+                    pending[kind] = rest
+                    deadlines[kind] = time.monotonic() + self.window_s
+                else:
+                    del pending[kind], deadlines[kind]
+                try:
+                    self._flush(kind, batch)
+                except Exception as e:                # fan the error out
+                    for _, _, _, slot, done in batch:
+                        slot["error"] = repr(e)
+                        done.set()
 
     def _flush(self, kind, batch):
         import numpy as np
