@@ -1,18 +1,24 @@
 """Epoch training loop (replaces reference Logger.step, logger.py:135-184).
 
-Per iteration: one jitted train_step (G then D phases, both Adam updates and
-all BN/spectral state transitions inside a single XLA program).  The loop
-only moves numpy batches to device and collects scalar metrics — there is no
-per-iteration host sync of model state (the reference round-trips every loss
-tensor to CPU each step, logger.py:173).
+Per iteration: one jitted train_step (G then D phases, both Adam updates, the
+on-device augmentation, and all BN/spectral state transitions inside a single
+XLA program).  The host never blocks on the device inside the hot loop:
 
-On-device augmentation: when DataConfig.on_device_aug, the CPU loader ships
-only decoded frames and the augmented views are computed by a jitted
-augment_batch on the accelerator before the step.
+  - batches are decoded by the loader's thread pool and moved to device by a
+    background prefetch thread (double-buffering host->device transfers
+    against device compute; the reference's analog is pin_memory +
+    .cuda(non_blocking), logger.py:142-148);
+  - loss scalars stay ON DEVICE and are fetched in one batched device_get
+    every _SYNC_EVERY steps (the reference round-trips every loss tensor to
+    CPU each step, logger.py:173) — the periodic fetch doubles as the
+    dispatch-depth bound so the host can't run unboundedly ahead;
+  - checkpoint/visualization writes happen at epoch boundaries only.
 """
 from __future__ import annotations
 
 import functools
+import queue
+import threading
 import time
 from typing import Optional
 
@@ -30,6 +36,76 @@ from facevae_tpu.train.step import make_train_step
 
 
 _PROFILE_START = 10
+_SYNC_EVERY = 8          # steps between batched metric fetches (depth bound)
+
+
+def _device_prefetch(loader, sharding, depth: int = 2):
+    """Yield loader batches as device arrays, transferred by a background
+    thread so the host->device copy of batch n+1 overlaps step n."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    err = []
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for batch in loader:
+                arrays = tuple(
+                    jax.device_put(b, sharding) if sharding is not None
+                    else jnp.asarray(b) for b in batch)
+                while not stop.is_set():
+                    try:
+                        q.put(arrays, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:          # surfaced on the consumer side
+            err.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+class _MetricBuffer:
+    """Holds per-step device loss dicts; fetches them host-side in batches."""
+
+    def __init__(self, scalar_log: ScalarLog):
+        self.scalar_log = scalar_log
+        self.pending = []
+        self.last = None                     # last fetched (g, d) host dicts
+
+    def push(self, losses_g, losses_d):
+        self.pending.append((losses_g, losses_d))
+
+    def drain(self):
+        if not self.pending:
+            return
+        host = jax.device_get(self.pending)
+        self.pending = []
+        for g, d in host:
+            g = {k: float(v) for k, v in g.items()}
+            d = {k: float(v) for k, v in d.items()}
+            self.scalar_log.log_iter(g, d)
+            self.last = (g, d)
 
 
 def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
@@ -42,15 +118,13 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         from tensorboardX import SummaryWriter
         writer = SummaryWriter(comment="facevae_tpu")
 
-    models, step = make_train_step(cfg, mesh=mesh)
+    fused_aug = cfg.data.on_device_aug
+    models, step = make_train_step(cfg, mesh=mesh, fused_aug=fused_aug)
     key = jax.random.PRNGKey(cfg.train.seed)
-
-    aug = None
-    if cfg.data.on_device_aug:
-        aug = jax.jit(functools.partial(augment_batch, cfg=cfg.data))
 
     scalar_log = ScalarLog(cfg.train.log_file)
     visualizer = Visualizer()
+    metrics_buf = _MetricBuffer(scalar_log)
 
     sharding = None
     if mesh is not None:
@@ -68,26 +142,19 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         loader.set_epoch(epoch)
         t_epoch = time.time()
         n_frames = 0
-        for idx, batch in enumerate(loader):
-            arrays = [jnp.asarray(b) for b in batch[:2]]
-            if sharding is not None:
-                arrays = [jax.device_put(a, sharding) for a in arrays]
-            s, d = arrays
-            if aug is not None:
-                k_aug = jax.random.fold_in(key, 2 * global_step + 1)
-                s_a = aug(jax.random.fold_in(k_aug, 0), s)
-                d_a = aug(jax.random.fold_in(k_aug, 1), d)
+        for idx, batch in enumerate(_device_prefetch(loader, sharding)):
+            if fused_aug:
+                s, d = batch[0], batch[1]
+                step_batch = (s, d)
             else:
-                s_a, d_a = (jnp.asarray(b) for b in batch[2:])
-                if sharding is not None:
-                    s_a = jax.device_put(s_a, sharding)
-                    d_a = jax.device_put(d_a, sharding)
+                s, d = batch[0], batch[1]
+                step_batch = batch
 
             if cfg.train.profile_dir and global_step == _PROFILE_START:
                 jax.profiler.start_trace(cfg.train.profile_dir)
                 profiling = True
             try:
-                state, metrics = step(state, (s, d, s_a, d_a),
+                state, metrics = step(state, step_batch,
                                       jax.random.fold_in(key, global_step))
             except KeyboardInterrupt:
                 # reference parity (quirk q5, logger.py:67-68): a checkpoint
@@ -95,6 +162,12 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                 save_checkpoint(cfg.train.ckp_dir, state, int(state.epoch))
                 interrupted = True
                 break
+            except BaseException:
+                # quirk q5 covers ANY teardown (Logger.__del__ fires on GC
+                # whatever killed the loop): save the last good state before
+                # re-raising so an OOM/data error doesn't lose the epoch
+                save_checkpoint(cfg.train.ckp_dir, state, int(state.epoch))
+                raise
             if profiling and global_step >= _PROFILE_START + 4:
                 jax.block_until_ready(metrics["losses_g"])
                 jax.profiler.stop_trace()
@@ -103,13 +176,15 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
             global_step += 1
             n_frames += s.shape[0]
 
-            losses_g = {k: float(v) for k, v in metrics["losses_g"].items()}
-            losses_d = {k: float(v) for k, v in metrics["losses_d"].items()}
-            scalar_log.log_iter(losses_g, losses_d)
+            metrics_buf.push(metrics["losses_g"], metrics["losses_d"])
+            if len(metrics_buf.pending) >= _SYNC_EVERY:
+                metrics_buf.drain()
             last_batch, last_metrics = (s, d), metrics
 
             if writer is not None and idx % cfg.train.vis_every == 0 and is_master():
                 # reference logger.py:286-299: scalars + image grid + text line
+                metrics_buf.drain()
+                losses_g, losses_d = metrics_buf.last
                 index = epoch * len(loader) + idx
                 all_losses = {**losses_g, **losses_d}
                 writer.add_scalars("loss_all", all_losses, index)
@@ -127,6 +202,7 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
             jax.profiler.stop_trace()
             profiling = False
             master_only_print(f"profiler trace written to {cfg.train.profile_dir}")
+        metrics_buf.drain()
         dt = time.time() - t_epoch
         master_only_print(f"epoch {epoch}: {n_frames / max(dt, 1e-9):.2f} frames/s")
 
@@ -136,7 +212,11 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         scalar_log.log_epoch(epoch)
         if last_metrics is not None and is_master():
             aux = jax.device_get(last_metrics["aux"])
-            s_np, d_np = (np.asarray(a) for a in last_batch)
+            s_np = np.asarray(last_batch[0])
+            d_np = np.asarray(last_batch[1])
+            if s_np.dtype == np.uint8:
+                s_np = s_np.astype(np.float32) / 255.0
+                d_np = d_np.astype(np.float32) / 255.0
             image = visualizer.visualize(
                 s_np, d_np, aux["generated_d"], aux["transformed_d"],
                 aux["kp_s"], aux["kp_d"], aux["transformed_kp"],

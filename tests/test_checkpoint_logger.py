@@ -28,6 +28,61 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_crash_save_on_any_exception(rng, tmp_path, monkeypatch):
+    """Quirk q5 full parity (reference logger.py:67-68 saves on GC whatever
+    killed the loop): a non-KeyboardInterrupt failure mid-epoch must still
+    write a checkpoint of the last good state, and that checkpoint must
+    resume."""
+    import dataclasses
+    import pytest
+    from facevae_tpu.train import loop as loop_mod
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, ckp_dir=str(tmp_path / "ckp"), vis_dir=str(tmp_path / "vis"),
+        log_file=str(tmp_path / "log.txt"), num_epochs=1))
+    state = create_train_state(cfg, seed=0)
+
+    real_make = loop_mod.make_train_step
+    calls = {"n": 0}
+
+    def make_failing(cfg, mesh=None, **kw):
+        models, step = real_make(cfg, mesh=mesh, **kw)
+
+        def failing_step(state, batch, rng):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("injected mid-epoch failure")
+            return step(state, batch, rng)
+
+        return models, failing_step
+
+    monkeypatch.setattr(loop_mod, "make_train_step", make_failing)
+
+    size = cfg.model.image_size
+    batches = [tuple(rng.rand(2, size, size, 3).astype(np.float32)
+                     for _ in range(4)) for _ in range(3)]
+
+    class Loader:
+        def set_epoch(self, epoch):
+            pass
+
+        def __len__(self):
+            return len(batches)
+
+        def __iter__(self):
+            return iter(batches)
+
+    with pytest.raises(RuntimeError, match="injected"):
+        loop_mod.train_loop(cfg, state, Loader())
+
+    # the last good state (after step 1, epoch counter still 0) was saved
+    assert os.path.exists(checkpoint_path(cfg.train.ckp_dir, 0))
+    template = create_train_state(cfg, seed=1)
+    restored = load_checkpoint(cfg.train.ckp_dir, 0, template)
+    assert int(restored.step) == 1
+
+
 def test_scalar_log_format_and_quirk_q4(tmp_path):
     log_path = str(tmp_path / "log.txt")
     log = ScalarLog(log_path)
