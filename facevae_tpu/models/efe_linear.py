@@ -11,10 +11,14 @@ Reference quirks preserved / repaired:
   - q2: EFE_linear hard-disables its contrastive branch (`x_a = None`,
     models.py:253) -> variant "linear" always returns x_c = x_a_c = None.
   - EFE_lin_conv is BROKEN upstream: its `encoder()` closure never assigns
-    `self.down` (models.py:117-118), and its VAE reads `x_c`, which is None
-    whenever x_a is None (models.py:152-153).  This implementation builds the
-    evident intent: the down chain exists, and the VAE reads the (always
-    available) encoder features.
+    `self.down` (models.py:117-118), its VAE reads `x_c`, which is None
+    whenever x_a is None (models.py:152-153), and the augmented branch skips
+    the quarter-scale interpolate (models.py:148) so x_a_c keeps 4x4 spatial
+    and would crash the 2048-wide contrastive head.  This implementation
+    builds the evident intent: the down chain exists, the VAE reads the
+    (always available) encoder features, and both branches share the scaled
+    encoder.  Golden vs the minimally-patched reference in
+    tests/test_variant_golden.py (both breakages pinned there).
   - The reference lin_conv forward always samples the reparameterization
     noise; here sampling is gated on `train_vae` like the conv family
     (deterministic-mu mode by default, quirk q8) so the variant composes with

@@ -13,8 +13,10 @@ Upstream-broken variants are pinned by tests that assert the breakage:
   - EFE_conv4: calls self.vae(x_vae) without flatten_vae's required
     train_vae arg (models.py:700 vs :509) — TypeError; golden-tested here
     with the evident-intent one-arg patch (train_vae=False).
-  - EFE_lin_conv: self.down never assigned (models.py:117-118) — exempt
-    (see models/VARIANTS.md), not retested here.
+  - EFE_lin_conv: self.down never assigned (models.py:117-118) — breakage
+    asserted, then golden-tested against a minimally-patched reference
+    (the one missing `self.down =` assignment supplied, noise zeroed to the
+    deterministic-mu mode the rest of the family uses).
 """
 import sys
 
@@ -196,6 +198,64 @@ def test_efe_conv4_upstream_break_and_golden(ref):
     np.testing.assert_allclose(np.asarray(got_kp), kp.numpy(), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_xc), _to_nhwc(x_c), rtol=2e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_xac), _to_nhwc(x_a_c), rtol=2e-3, atol=5e-4)
+
+
+def test_efe_lin_conv_upstream_break_and_golden(ref, monkeypatch):
+    """EFE_lin_conv (models.py:82-187) is broken upstream: the `encoder()`
+    closure builds `down` but never assigns `self.down` (models.py:117-118),
+    so forward dies on the first attribute access.  Assert the break, then
+    golden-test against a minimally-patched reference: supply the evidently
+    intended `self.down = Sequential(DownBlock2D...)` chain, and zero the
+    always-on reparameterization noise (models.py:156) to match the
+    deterministic-mu mode (train_vae=False) the rest of the family uses.
+
+    Second upstream breakage pinned below: the augmented branch feeds the RAW
+    frame to `down` — models.py:148 skips the quarter-scale interpolate the
+    clean branch gets (models.py:143) — producing a [N,2048,4,4] x_a_c that
+    would crash the 2048-wide contrastive head.  Ours interpolates both
+    branches (the evident intent); the golden compares x_a_c against the
+    patched reference chain run on the interpolated frame."""
+    from facevae_tpu.models.efe_linear import EFELinear, efe_lin_conv_defaults
+    torch.manual_seed(90)
+    tm = ref.EFE_lin_conv().eval()
+    xt, xj = _imgs(91, 2, 256)
+    at, aj = _imgs(92, 2, 256)
+    kpt, kpj = _kp(93, 2)
+    with pytest.raises(AttributeError, match="down"):
+        with torch.no_grad():
+            tm(xt, at, kpt)
+
+    # the one-line intent fix: models.py:117-118 builds exactly this chain
+    seq = (3, 64, 128, 256, 512, 1024, 2048)
+    torch.manual_seed(94)
+    tm.down = torch.nn.Sequential(
+        *[ref.DownBlock2D(seq[i], seq[i + 1], False)
+          for i in range(len(seq) - 1)]).eval()
+    # zero the unconditional reparameterization draw -> x_z == mu
+    monkeypatch.setattr(torch, "randn",
+                        lambda *size, **kw: torch.zeros(*size, **kw))
+
+    fm = EFELinear(**efe_lin_conv_defaults())
+    # torch ctor order puts the (post-hoc) down chain LAST; our call order
+    # runs it first -> reordered zip
+    run = _port(tm, fm, (xj, aj, kpj),
+                prefix_order=["down", "vae_encoder", "mu", "logstd",
+                              "mid_map", "mid_cat", "up", "final_linear"])
+    with torch.no_grad():
+        kp, x_c, x_a_c, mu, logstd = tm(xt, at, kpt)
+        # pin breakage #2: un-interpolated augmented branch keeps 4x4 spatial
+        assert x_a_c.shape == (2, 2048, 4, 4)
+        want_xac = tm.down(torch.nn.functional.interpolate(
+            at, mode="bilinear", scale_factor=0.25, align_corners=False,
+            recompute_scale_factor=True)).squeeze(-1).squeeze(-1)
+    got_kp, got_xc, got_xac, (got_mu, got_logstd), _ = run(xj, aj, kpj)
+    np.testing.assert_allclose(np.asarray(got_kp), kp.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_xc), x_c.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_xac), want_xac.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_mu), mu.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_logstd), logstd.numpy(),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_efe_conv3_upstream_break(ref):
