@@ -22,12 +22,17 @@ import imageio.v2 as imageio
 from facevae_tpu.data.augmentation import AllAugmentationTransform
 
 
-def _imread_float(path: str) -> np.ndarray:
+def _imread_raw(path: str) -> np.ndarray:
     img = np.asarray(imageio.imread(path))
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[-1] == 4:
         img = img[..., :3]
+    return img
+
+
+def _imread_float(path: str) -> np.ndarray:
+    img = _imread_raw(path)
     if img.dtype == np.uint8:
         return img.astype(np.float32) / 255.0
     return img.astype(np.float32)
@@ -58,7 +63,13 @@ _DEFAULT_AUG = {
 class FramesDataset:
     def __init__(self, root_dir: str, frame_shape=(256, 256, 3), id_sampling: bool = True,
                  is_train: bool = True, random_seed: int = 0, pairs_list=None,
-                 augmentation_params: Optional[dict] = None):
+                 augmentation_params: Optional[dict] = None,
+                 on_device_aug: bool = False):
+        # on_device_aug: items skip the CPU transform entirely and stay uint8
+        # — the fused jax augmentation runs on the accelerator, and shipping
+        # raw bytes quarters the host->device transfer (the reference pays
+        # float32 CHW over PCIe, train.py:16 + logger.py:142-148)
+        self.on_device_aug = on_device_aug
         self.root_dir = root_dir
         self.frame_shape = tuple(frame_shape)
         self.pairs_list = pairs_list
@@ -102,6 +113,13 @@ class FramesDataset:
 
     def __getitem__(self, idx: int):
         path = self._resolve_path(idx)
+        if self.is_train and self.on_device_aug and os.path.isdir(path):
+            # fast path: two raw uint8 frames, no CPU transform, no float cast
+            frames = sorted(os.listdir(path))
+            frame_idx = np.sort(np.random.choice(len(frames), replace=True, size=2))
+            a = _imread_raw(os.path.join(path, frames[frame_idx[0]]))
+            b = _imread_raw(os.path.join(path, frames[frame_idx[1]]))
+            return np.ascontiguousarray(a), np.ascontiguousarray(b)
         if self.is_train and os.path.isdir(path):
             frames = sorted(os.listdir(path))
             frame_idx = np.sort(np.random.choice(len(frames), replace=True, size=2))
@@ -115,6 +133,8 @@ class FramesDataset:
         if self.is_train:
             source = np.asarray(video[0], np.float32)
             driving = np.asarray(video[1], np.float32)
+            if self.on_device_aug:        # mp4/gif source: frames are float
+                return source, driving    # already; aug still runs on device
             if self.transform is not None:
                 source_aug = np.asarray(self.transform([video[0]])[0], np.float32)
                 driving_aug = np.asarray(self.transform([video[1]])[0], np.float32)

@@ -30,11 +30,18 @@ from facevae_tpu.train.state import TrainState, build_all_modules, make_optimize
 
 def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
                     models: Optional[Dict[str, Any]] = None,
-                    train_vae: Optional[bool] = None, donate: bool = True):
+                    train_vae: Optional[bool] = None, donate: bool = True,
+                    fused_aug: bool = False):
     """Returns (models, step_fn) with step_fn(state, batch, rng) -> (state, metrics).
 
     batch = (s, d, s_a, d_a), each [N,H,W,3] channel-last float32 — with a
     mesh, N is the GLOBAL batch and inputs are sharded over DATA_AXIS.
+
+    fused_aug: batch is just (s, d) — uint8 straight from the PNG decoder or
+    float32 — and the contrastive augmented views are computed INSIDE the
+    step (one dispatch, no separate aug program, 4x less host->device traffic
+    for the uint8 case).  The reference ships float32 CHW through its
+    DataLoader and augments on CPU workers (train.py:16, dataset.py:121-126).
     """
     axis = DATA_AXIS if mesh is not None else None
     models = models or build_all_modules(cfg, axis_name=axis)
@@ -50,9 +57,25 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
              transform_params=None) -> Tuple[TrainState, Dict[str, Any]]:
         # transform_params: parity harnesses replay the reference Transform
         # noise (trainer.py:270) instead of drawing TPS params from rng
-        s, d, s_a, d_a = batch
-        if axis is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        if fused_aug:
+            from facevae_tpu.data.device_aug import augment_batch
+            s, d = batch
+            if s.dtype == jnp.uint8:
+                s = s.astype(jnp.float32) / 255.0
+                d = d.astype(jnp.float32) / 255.0
+            if axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            k_aug = jax.random.fold_in(rng, 0xA06)
+            s_a = augment_batch(jax.random.fold_in(k_aug, 0), s, cfg.data)
+            d_a = augment_batch(jax.random.fold_in(k_aug, 1), d, cfg.data)
+            # the aug views are DATA (no param dependence); stop_gradient
+            # keeps the VJP from retaining the warp/jitter intermediates
+            s_a = jax.lax.stop_gradient(s_a)
+            d_a = jax.lax.stop_gradient(d_a)
+        else:
+            s, d, s_a, d_a = batch
+            if axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         # ---- generator phase -------------------------------------------------
         g_opt_params = dict(state.g_params)
@@ -117,7 +140,7 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
         return models, jax.jit(step, donate_argnums=(0,) if donate else ())
 
     state_spec = P()        # params/opt replicated
-    batch_spec = (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+    batch_spec = tuple(P(DATA_AXIS) for _ in range(2 if fused_aug else 4))
     out_metric_spec = {"losses_g": P(), "losses_d": P(),
                        "aux": jax.tree.map(lambda _: P(DATA_AXIS), _AUX_TEMPLATE)}
     donate_kw = dict(donate_argnums=(0,) if donate else ())

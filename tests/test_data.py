@@ -43,6 +43,22 @@ def test_frames_dataset(data_dir):
     assert "driving_video" in item and "source_video" in item
 
 
+def test_frames_dataset_uint8_fast_path(data_dir):
+    """on_device_aug items: raw uint8 (source, driving) pairs, no CPU
+    transform — the fused aug runs inside the train step and the transfer is
+    4x smaller than the reference's float32 DataLoader path (train.py:16)."""
+    ds = FramesDataset(data_dir, frame_shape=(64, 64, 3), on_device_aug=True)
+    item = ds[0]
+    assert len(item) == 2
+    for arr in item:
+        assert arr.shape == (64, 64, 3) and arr.dtype == np.uint8
+    # loader stacks the 2-tuple items into 2 batch arrays
+    loader = PrefetchLoader(DatasetRepeater(ds, 10), batch_size=4, num_workers=2)
+    batch = next(iter(loader))
+    assert len(batch) == 2 and batch[0].shape == (4, 64, 64, 3)
+    assert batch[0].dtype == np.uint8
+
+
 def test_prefetch_loader_sharding(data_dir):
     ds = DatasetRepeater(FramesDataset(data_dir, frame_shape=(64, 64, 3)), 10)
     loaders = [PrefetchLoader(ds, batch_size=4, num_workers=2, shard=(i, 2), seed=0)

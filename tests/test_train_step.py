@@ -110,6 +110,35 @@ def test_mesh_dp_step_and_overfit(cfg, rng):
                                                    cfg.model.image_size, 3)
 
 
+def test_fused_aug_step_uint8(cfg, rng):
+    """fused_aug: the step takes raw uint8 (s, d) and computes the augmented
+    contrastive views on device inside the same XLA program."""
+    state = create_train_state(cfg, seed=0)
+    _, step = make_train_step(cfg, donate=False, fused_aug=True)
+    size = cfg.model.image_size
+    batch = tuple(jnp.asarray((rng.rand(2, size, size, 3) * 255).astype(np.uint8))
+                  for _ in range(2))
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    for k, v in {**metrics["losses_g"], **metrics["losses_d"]}.items():
+        assert np.isfinite(float(v)), f"loss {k} not finite"
+    assert int(state2.step) == 1
+    # C is a real contrastive loss (augmented views flowed)
+    assert float(metrics["losses_g"]["C"]) != 0.0
+
+
+def test_fused_aug_mesh_step(cfg, rng):
+    mesh = make_mesh(8)
+    state = create_train_state(cfg, seed=0, axis_name="data")
+    _, step = make_train_step(cfg, mesh=mesh, donate=False, fused_aug=True)
+    size = cfg.model.image_size
+    batch = tuple(jnp.asarray((rng.rand(8, size, size, 3) * 255).astype(np.uint8))
+                  for _ in range(2))
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    total = sum(float(v) for v in metrics["losses_g"].values())
+    assert np.isfinite(total)
+    assert int(state2.step) == 1
+
+
 def test_train_vae_mode(cfg, rng):
     """train_vae=True: KL becomes data-dependent and noise flows."""
     state = create_train_state(cfg, seed=0)

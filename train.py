@@ -106,10 +106,13 @@ def main(argv=None):
     mesh = make_mesh(n_devices) if n_devices > 1 else None
     axis = DATA_AXIS if mesh is not None else None
 
-    aug_params = None if args.cpu_aug else {}
+    # on-device aug (default): items are raw uint8 (source, driving) pairs —
+    # the fused augmentation runs inside the train step and the transfer is
+    # 4x smaller.  --cpu_aug keeps the reference's CPU transform parity path.
     dataset = DatasetRepeater(
         FramesDataset(cfg.data.root_dir, frame_shape=cfg.data.frame_shape,
-                      augmentation_params=aug_params),
+                      augmentation_params=None if args.cpu_aug else {},
+                      on_device_aug=not args.cpu_aug),
         num_repeats=cfg.train.num_repeats)
     global_batch = cfg.train.batch_size * n_devices
     loader = PrefetchLoader(dataset, batch_size=global_batch,
