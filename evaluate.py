@@ -7,8 +7,15 @@ with the reference's staleness fixed (quirk q1) and two extra modes.
   --source <img>      cross-identity reenactment from a source image
   --source s          expression sampling from the EFE latent (configs[5])
   --source i          expression interpolation between first/last frame
+  --source m          QUANTITATIVE eval: per-frame recon L1/MSE/PSNR over the
+                      test split (--driving = dataset ROOT); prints one JSON
+                      line.  The north-star metric (BASELINE.json recon L1)
+                      measured on a checkpoint — the reference only ever
+                      eyeballs gifs (evaluate.py:22-45).
+  --source p          cross-identity reenactment over PairedDataset pairs
+                      (--driving = dataset ROOT; reference dataset.py:154-181)
 
-Writes a side-by-side gif to --output.
+Writes a side-by-side gif to --output (modes r/f/s/i/p).
 """
 import argparse
 import os
@@ -21,14 +28,54 @@ def parse_args(argv=None):
     parser.add_argument("--ckp", type=int, default=0, help="Checkpoint epoch")
     parser.add_argument("--source", type=str, default="r",
                         help="r=reconstruction, f=frontalization, s=sampling, "
-                             "i=interpolation, or a source image path")
-    parser.add_argument("--driving", type=str, required=True, help="Driving frame dir")
+                             "i=interpolation, m=metrics, p=pairs, or a "
+                             "source image path")
+    parser.add_argument("--driving", type=str, required=True,
+                        help="Driving frame dir (modes m/p: dataset root)")
     parser.add_argument("--num_frames", type=int, default=90)
+    parser.add_argument("--num_videos", type=int, default=8,
+                        help="mode m: test videos to evaluate")
+    parser.add_argument("--num_pairs", type=int, default=4,
+                        help="mode p: PairedDataset pairs to animate")
     parser.add_argument("--image_size", type=int, default=256)
     parser.add_argument("--tiny", type=lambda s: s.lower().startswith("t"), default=False)
     parser.add_argument("--use_efe", type=lambda s: s.lower().startswith("t"), default=True,
                         help="False reproduces the reference's pre-EFE path")
     return parser.parse_args(argv)
+
+
+def eval_metrics(pipe, root_dir, image_size, num_videos, num_frames):
+    """Recon L1/MSE/PSNR over the test split: frame 0 of each test video is
+    the source, every later frame is re-driven and compared to ground truth."""
+    import numpy as np
+    import jax.numpy as jnp
+    from facevae_tpu.data import FramesDataset
+
+    ds = FramesDataset(root_dir, frame_shape=(image_size, image_size, 3),
+                       is_train=False)
+    l1s, mses, n_frames = [], [], 0
+    for vid_idx in range(min(len(ds), num_videos)):
+        video = np.asarray(ds[vid_idx], np.float32)[:num_frames]
+        if video.shape[0] < 2:
+            continue
+        fs, kp_c, kp_s, Rs = pipe.encode_source(jnp.asarray(video[:1]))
+        for t in range(1, video.shape[0]):
+            gt = video[t]
+            gen = np.asarray(pipe.drive_frame(fs, kp_c, kp_s, Rs,
+                                              jnp.asarray(gt[None])))[0]
+            gen = gen.clip(0.0, 1.0)
+            l1s.append(float(np.abs(gen - gt).mean()))
+            mses.append(float(((gen - gt) ** 2).mean()))
+            n_frames += 1
+    mse = float(np.mean(mses))
+    return {
+        "metric": "recon_eval",
+        "recon_l1": round(float(np.mean(l1s)), 6),
+        "recon_mse": round(mse, 6),
+        "psnr_db": round(float(10.0 * np.log10(1.0 / max(mse, 1e-12))), 3),
+        "frames": n_frames,
+        "videos": min(len(ds), num_videos),
+    }
 
 
 def main(argv=None):
@@ -51,6 +98,45 @@ def main(argv=None):
     state = create_train_state(cfg, seed=0)
     state = load_checkpoint(args.ckp_dir, args.ckp, state)
     pipe = InferencePipeline(cfg, state, use_efe=args.use_efe)
+
+    if args.source == "m":
+        import json
+        out = eval_metrics(pipe, args.driving, args.image_size,
+                           args.num_videos, args.num_frames)
+        print(json.dumps(out))
+        return out
+
+    if args.source == "p":
+        # cross-identity reenactment over PairedDataset pairs (the
+        # reference's dormant pairs path, dataset.py:154-181): each pair's
+        # source frame 0 is driven by the driving video; no ground truth
+        # exists for cross-identity, so this mode is qualitative (gif strip)
+        from facevae_tpu.data import FramesDataset, PairedDataset
+        ds = FramesDataset(args.driving,
+                           frame_shape=(args.image_size, args.image_size, 3),
+                           is_train=False)
+        paired = PairedDataset(ds, number_of_pairs=args.num_pairs)
+        strips = []
+        for i in range(len(paired)):
+            item = paired[i]
+            src = jnp.asarray(item["source_video"][:1], jnp.float32)
+            drv = np.asarray(item["driving_video"], np.float32)[: args.num_frames]
+            fs, kp_c, kp_s, Rs = pipe.encode_source(src)
+            row = []
+            for t in range(drv.shape[0]):
+                img = jnp.asarray(drv[t][None])
+                gen = pipe.drive_frame(fs, kp_c, kp_s, Rs, img)
+                row.append(np.concatenate([np.asarray(src)[0],
+                                           np.asarray(img)[0],
+                                           np.asarray(gen)[0]], axis=1))
+            strips.append(np.stack(row))
+        n_frames = min(s.shape[0] for s in strips)
+        frames_out = [
+            (255 * np.concatenate([s[t] for s in strips], axis=0).clip(0, 1))
+            .astype(np.uint8) for t in range(n_frames)]
+        imageio.mimsave(args.output, frames_out)
+        print(f"wrote {len(frames_out)} frames ({len(strips)} pairs) to {args.output}")
+        return None
 
     frames = sorted(os.listdir(args.driving))[: args.num_frames]
     video = [_imread_float(os.path.join(args.driving, f)) for f in frames]

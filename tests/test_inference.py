@@ -1,8 +1,14 @@
 """InferencePipeline: all five evaluate modes produce valid images
-(tiny config, fresh state)."""
+(tiny config, fresh state); quantitative metrics mode; PairedDataset pairs
+mode."""
+import os
+import subprocess
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from facevae_tpu.config import tiny_config
 from facevae_tpu.train import create_train_state
@@ -33,3 +39,45 @@ def test_all_inference_modes(rng):
     fs, kp_c, kp_s, Rs = pipe2.encode_source(s)
     check(pipe2.drive_frame(fs, kp_c, kp_s, Rs, d))
     check(pipe2.frontalize_frame(d))
+
+
+@pytest.fixture(scope="module")
+def eval_env(tmp_path_factory):
+    """Synthetic dataset + a tiny-config checkpoint for the evaluate CLI."""
+    from facevae_tpu.train import save_checkpoint
+    root = str(tmp_path_factory.mktemp("evaldata"))
+    subprocess.run([sys.executable, "tools/make_synthetic_data.py", root,
+                    "--num_ids", "3", "--clips_per_id", "2", "--frames", "4",
+                    "--size", "64"], check=True)
+    ckp_dir = str(tmp_path_factory.mktemp("evalckp"))
+    state = create_train_state(tiny_config(), seed=0)
+    save_checkpoint(ckp_dir, state, 0)
+    return root, ckp_dir
+
+
+def test_evaluate_metrics_mode(eval_env):
+    """--source m: per-frame recon L1/MSE/PSNR over the test split, one JSON
+    line (the north-star recon-L1 measured on a checkpoint)."""
+    root, ckp_dir = eval_env
+    import evaluate
+    out = evaluate.main(["--ckp_dir", ckp_dir, "--ckp", "0", "--source", "m",
+                         "--driving", root, "--tiny", "true",
+                         "--image_size", "64", "--num_videos", "2",
+                         "--num_frames", "3"])
+    assert out["metric"] == "recon_eval"
+    assert out["frames"] == 2 * 2                 # 2 videos x (3-1) frames
+    for k in ("recon_l1", "recon_mse", "psnr_db"):
+        assert np.isfinite(out[k]), out
+    assert 0.0 <= out["recon_l1"] <= 1.0
+
+
+def test_evaluate_pairs_mode(eval_env, tmp_path):
+    """--source p: PairedDataset cross-identity reenactment gif strip."""
+    root, ckp_dir = eval_env
+    import evaluate
+    gif = str(tmp_path / "pairs.gif")
+    evaluate.main(["--ckp_dir", ckp_dir, "--ckp", "0", "--source", "p",
+                   "--driving", root, "--tiny", "true", "--image_size", "64",
+                   "--num_pairs", "2", "--num_frames", "2",
+                   "--output", gif])
+    assert os.path.exists(gif)
