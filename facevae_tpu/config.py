@@ -121,6 +121,9 @@ class TrainConfig:
     points_tps: int = 5
     # aux subsystems (SURVEY.md §5): the reference's only runtime tripwire is
     # torch.autograd.set_detect_anomaly (distributed.py:26)
+    # device-cache scan mode: K train steps per XLA dispatch (lax.scan over
+    # the HBM frame cache).  1 = one dispatch per step (the default loop).
+    steps_per_call: int = 1
     debug_nans: bool = False         # jax_debug_nans: trap the first NaN
     profile_dir: str = ""            # jax.profiler trace of steps 10..14
     tensorboard: bool = False        # scalars via tensorboardX (logger.py:177-181)

@@ -39,6 +39,52 @@ def save_checkpoint(ckp_dir: str, state: TrainState, epoch: int) -> Optional[str
     return path
 
 
+class AsyncCheckpointer:
+    """Checkpoint saves off the training path.
+
+    The flagship state is ~1.6 GB (6 sub-model params + both Adam moments);
+    a synchronous device_get + msgpack + write at every epoch boundary stalls
+    training for seconds (worse through a tunneled runtime).  Here `save`
+    takes a cheap ON-DEVICE snapshot (fresh buffers, so the training step may
+    donate the live state immediately) and a background thread does the
+    device->host pull and the file write while the next epoch trains.
+
+    One save in flight at a time (a second `save` joins the first); `wait`
+    flushes — call it before process exit and before crash-saves so no epoch
+    file is lost.
+    """
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self._thread: Optional[object] = None
+        self._snapshot = None            # jitted identity-copy, compiled once
+
+    def _snap(self, state: TrainState) -> TrainState:
+        import jax.numpy as jnp
+        if self._snapshot is None:
+            self._snapshot = jax.jit(
+                lambda s: jax.tree.map(jnp.copy, s))
+        return self._snapshot(state)
+
+    def save(self, ckp_dir: str, state: TrainState, epoch: int) -> None:
+        if not is_master():
+            return
+        self.wait()
+        snap = self._snap(state)         # distinct buffers; donation-safe
+
+        def write():
+            save_checkpoint(ckp_dir, snap, epoch)
+
+        self._thread = self._threading.Thread(target=write, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def load_checkpoint(ckp_dir: str, epoch: int, template: TrainState) -> TrainState:
     """Restore into a freshly-initialized template state (shape-checked)."""
     path = checkpoint_path(ckp_dir, epoch)

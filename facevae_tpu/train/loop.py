@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from facevae_tpu.config import Config
 from facevae_tpu.data.device_aug import augment_batch
 from facevae_tpu.parallel import DATA_AXIS, is_master, master_only_print
-from facevae_tpu.train.checkpoint import save_checkpoint
+from facevae_tpu.train.checkpoint import AsyncCheckpointer, save_checkpoint
 from facevae_tpu.train.logger import ScalarLog, Visualizer, save_visualization
 from facevae_tpu.train.state import TrainState
 from facevae_tpu.train.step import make_train_step
@@ -102,10 +102,18 @@ class _MetricBuffer:
         host = jax.device_get(self.pending)
         self.pending = []
         for g, d in host:
-            g = {k: float(v) for k, v in g.items()}
-            d = {k: float(v) for k, v in d.items()}
-            self.scalar_log.log_iter(g, d)
-            self.last = (g, d)
+            rows = []
+            probe = next(iter(g.values()))
+            if np.ndim(probe) == 1:          # stacked [K] from the scan path
+                for k in range(len(probe)):
+                    rows.append(({n: float(v[k]) for n, v in g.items()},
+                                 {n: float(v[k]) for n, v in d.items()}))
+            else:
+                rows.append(({n: float(v) for n, v in g.items()},
+                             {n: float(v) for n, v in d.items()}))
+            for g_row, d_row in rows:
+                self.scalar_log.log_iter(g_row, d_row)
+                self.last = (g_row, d_row)
 
 
 def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
@@ -119,12 +127,21 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         writer = SummaryWriter(comment="facevae_tpu")
 
     fused_aug = cfg.data.on_device_aug
-    models, step = make_train_step(cfg, mesh=mesh, fused_aug=fused_aug)
+    # scan mode: K steps per dispatch over the HBM frame cache — requires
+    # the device-cache loader (index-table sampling), fused aug, one device
+    scan_mode = (cfg.train.steps_per_call > 1 and mesh is None
+                 and fused_aug and hasattr(loader, "iter_index_chunks"))
+    if scan_mode:
+        from facevae_tpu.train.scan import make_scan_train_step
+        models, step = make_scan_train_step(cfg)
+    else:
+        models, step = make_train_step(cfg, mesh=mesh, fused_aug=fused_aug)
     key = jax.random.PRNGKey(cfg.train.seed)
 
     scalar_log = ScalarLog(cfg.train.log_file)
     visualizer = Visualizer()
     metrics_buf = _MetricBuffer(scalar_log)
+    checkpointer = AsyncCheckpointer()
 
     sharding = None
     if mesh is not None:
@@ -142,7 +159,49 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         loader.set_epoch(epoch)
         t_epoch = time.time()
         n_frames = 0
-        for idx, batch in enumerate(_device_prefetch(loader, sharding)):
+        if scan_mode:
+            K = cfg.train.steps_per_call
+            if len(loader) % K:
+                master_only_print(
+                    f"scan mode: epoch truncated to {len(loader) // K * K} "
+                    f"of {len(loader)} steps (steps_per_call={K})")
+            last_chunk = None
+            for cidx, (s_idx, d_idx) in enumerate(loader.iter_index_chunks(K)):
+                if cfg.train.profile_dir and not profiling and cidx == 1:
+                    jax.profiler.start_trace(cfg.train.profile_dir)
+                    profiling = True
+                try:
+                    state, metrics = step(state, loader.cache.frames,
+                                          jnp.asarray(s_idx), jnp.asarray(d_idx),
+                                          key)
+                except KeyboardInterrupt:
+                    checkpointer.wait()
+                    save_checkpoint(cfg.train.ckp_dir, state, int(state.epoch))
+                    interrupted = True
+                    break
+                except BaseException:
+                    checkpointer.wait()
+                    save_checkpoint(cfg.train.ckp_dir, state, int(state.epoch))
+                    raise
+                if profiling:
+                    jax.device_get(metrics["losses_g"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    master_only_print(
+                        f"profiler trace written to {cfg.train.profile_dir}")
+                global_step += K
+                n_frames += s_idx.size
+                metrics_buf.push(metrics["losses_g"], metrics["losses_d"])
+                if len(metrics_buf.pending) * K >= _SYNC_EVERY:
+                    metrics_buf.drain()
+                last_chunk, last_metrics = (s_idx[-1], d_idx[-1]), metrics
+            if last_chunk is not None:
+                # epoch visualizer inputs: gather the final step's (s, d)
+                last_batch = (loader.cache.gather(last_chunk[0]),
+                              loader.cache.gather(last_chunk[1]))
+        step_iter = (() if scan_mode
+                     else enumerate(_device_prefetch(loader, sharding)))
+        for idx, batch in step_iter:
             if fused_aug:
                 s, d = batch[0], batch[1]
                 step_batch = (s, d)
@@ -159,6 +218,7 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
             except KeyboardInterrupt:
                 # reference parity (quirk q5, logger.py:67-68): a checkpoint
                 # is also written when training is interrupted
+                checkpointer.wait()
                 save_checkpoint(cfg.train.ckp_dir, state, int(state.epoch))
                 interrupted = True
                 break
@@ -166,6 +226,7 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                 # quirk q5 covers ANY teardown (Logger.__del__ fires on GC
                 # whatever killed the loop): save the last good state before
                 # re-raising so an OOM/data error doesn't lose the epoch
+                checkpointer.wait()
                 save_checkpoint(cfg.train.ckp_dir, state, int(state.epoch))
                 raise
             if profiling and global_step >= _PROFILE_START + 4:
@@ -204,12 +265,12 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
             master_only_print(f"profiler trace written to {cfg.train.profile_dir}")
         metrics_buf.drain()
         dt = time.time() - t_epoch
-        master_only_print(f"epoch {epoch}: {n_frames / max(dt, 1e-9):.2f} frames/s")
 
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
-        if (epoch + 1) % cfg.train.checkpoint_freq == 0:
-            save_checkpoint(cfg.train.ckp_dir, state, epoch)
         scalar_log.log_epoch(epoch)
+        # vis BEFORE the checkpoint snapshot: its ~80 MB aux fetch must not
+        # queue behind the checkpointer's ~1.6 GB device->host pull
+        t_vis = time.time()
         if last_metrics is not None and is_master():
             aux = jax.device_get(last_metrics["aux"])
             s_np = np.asarray(last_batch[0])
@@ -222,5 +283,17 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                 aux["kp_s"], aux["kp_d"], aux["transformed_kp"],
                 aux["occlusion"], aux["mask"])
             save_visualization(cfg.train.vis_dir, epoch, image)
+        t_vis = time.time() - t_vis
+        t_ckpt = time.time()
+        if (epoch + 1) % cfg.train.checkpoint_freq == 0:
+            # async: on-device snapshot now, device->host pull + file write
+            # overlap the next epoch (the flagship state is ~1.6 GB)
+            checkpointer.save(cfg.train.ckp_dir, state, epoch)
+        t_ckpt = time.time() - t_ckpt
+        total = dt + t_ckpt + t_vis
+        master_only_print(
+            f"epoch {epoch}: {n_frames / max(total, 1e-9):.2f} frames/s "
+            f"(steps {dt:.1f}s, ckpt-snap {t_ckpt:.1f}s, vis {t_vis:.1f}s)")
+    checkpointer.wait()
     scalar_log.close()
     return state

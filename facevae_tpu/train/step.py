@@ -31,7 +31,7 @@ from facevae_tpu.train.state import TrainState, build_all_modules, make_optimize
 def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
                     models: Optional[Dict[str, Any]] = None,
                     train_vae: Optional[bool] = None, donate: bool = True,
-                    fused_aug: bool = False):
+                    fused_aug: bool = False, raw: bool = False):
     """Returns (models, step_fn) with step_fn(state, batch, rng) -> (state, metrics).
 
     batch = (s, d, s_a, d_a), each [N,H,W,3] channel-last float32 — with a
@@ -137,6 +137,10 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
         return new_state, {"losses_g": metrics_g, "losses_d": metrics_d, "aux": aux}
 
     if mesh is None:
+        if raw:
+            # uncompiled body — for callers embedding the step in a larger
+            # program (the multi-step lax.scan dispatcher, train/scan.py)
+            return models, step
         return models, jax.jit(step, donate_argnums=(0,) if donate else ())
 
     state_spec = P()        # params/opt replicated

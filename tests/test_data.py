@@ -72,6 +72,40 @@ def test_prefetch_loader_sharding(data_dir):
     assert set(i0).isdisjoint(set(i1))
 
 
+def test_device_frame_cache(data_dir):
+    """HBM-resident cache: all frames decoded once; batches sampled by
+    device-side gather with FramesDataset semantics (identity -> clip ->
+    2 sorted frames)."""
+    from facevae_tpu.data.device_cache import DeviceFrameCache, CachedLoader
+    cache = DeviceFrameCache(data_dir, frame_shape=(64, 64, 3), num_workers=2)
+    assert cache.num_identities == 4
+    assert cache.frames.shape == (4 * 2 * 6, 64, 64, 3)     # ids*clips*frames
+    assert cache.frames.dtype == jnp.uint8
+
+    rng_np = np.random.RandomState(0)
+    s_idx, d_idx = cache.sample_indices(rng_np, 16)
+    # source frame never after driving (sorted 2-frame draw, dataset.py:107)
+    assert (s_idx <= d_idx).all()
+    # both frames always inside one clip
+    clip_of = np.searchsorted(cache.clip_start, s_idx, side="right") - 1
+    assert (d_idx < cache.clip_start[clip_of] + cache.clip_count[clip_of]).all()
+
+    s = cache.gather(s_idx)
+    assert s.shape == (16, 64, 64, 3) and s.dtype == jnp.uint8
+    # gather matches direct indexing
+    np.testing.assert_array_equal(np.asarray(s),
+                                  np.asarray(cache.frames)[s_idx])
+
+    loader = CachedLoader(cache, batch_size=4, num_items=40, seed=0)
+    assert len(loader) == 10
+    batches = list(iter(loader))
+    assert len(batches) == 10 and batches[0][0].shape == (4, 64, 64, 3)
+    # different epochs draw different indices
+    loader.set_epoch(1)
+    b1 = next(iter(loader))
+    assert not np.array_equal(np.asarray(batches[0][0]), np.asarray(b1[0]))
+
+
 def test_cpu_augmentation_properties(rng):
     frame = rng.rand(64, 64, 3).astype(np.float32)
     aug = AllAugmentationTransform(

@@ -146,3 +146,65 @@ def test_train_vae_mode(cfg, rng):
     batch = _batch(rng, 2, cfg.model.image_size)
     _, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["losses_g"]["K"]))
+
+
+def test_scan_matches_single_steps(cfg, rng):
+    """The K-steps-per-dispatch scan program (train/scan.py) matches K
+    consecutive single-step calls: same RNG stream (fold_in with state.step
+    inside the program), same gathers, same losses.  Step 0 must agree to
+    float tolerance; later steps only loosely — scan and the standalone jit
+    are DIFFERENT XLA programs whose fp32 fusion differences amplify
+    chaotically through the soft-argmax keypoints (the PARITY.md fp64 probe
+    quantifies this class of drift)."""
+    from facevae_tpu.train.scan import make_scan_train_step
+
+    size = cfg.model.image_size
+    frames = jnp.asarray((rng.rand(12, size, size, 3) * 255).astype(np.uint8))
+    K, B = 3, 2
+    s_idx = jnp.asarray(rng.randint(0, 12, (K, B)), jnp.int32)
+    d_idx = jnp.asarray(rng.randint(0, 12, (K, B)), jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    # reference stream: K single fused-aug steps with host-side gathers
+    state_a = create_train_state(cfg, seed=0)
+    _, step = make_train_step(cfg, donate=False, fused_aug=True)
+    per_step = []
+    for k in range(K):
+        batch = (jnp.take(frames, s_idx[k], axis=0),
+                 jnp.take(frames, d_idx[k], axis=0))
+        state_a, m = step(state_a, batch, jax.random.fold_in(key, k))
+        per_step.append(m)
+
+    state_b = create_train_state(cfg, seed=0)
+    _, scan_fn = make_scan_train_step(cfg, donate=False)
+    state_b, metrics = scan_fn(state_b, frames, s_idx, d_idx, key)
+
+    assert int(state_b.step) == K
+    # step 0: same program inputs, float-level agreement proves the RNG
+    # stream and gather wiring; steps >=1 bound the chaotic program drift
+    for k in range(K):
+        rtol = 1e-5 if k == 0 else 5e-2
+        for name, v in per_step[k]["losses_g"].items():
+            np.testing.assert_allclose(
+                float(metrics["losses_g"][name][k]), float(v), rtol=rtol,
+                atol=1e-6, err_msg=f"G loss {name} step {k}")
+        for name, v in per_step[k]["losses_d"].items():
+            np.testing.assert_allclose(
+                float(metrics["losses_d"][name][k]), float(v), rtol=rtol,
+                atol=1e-6, err_msg=f"D loss {name} step {k}")
+    # final params stay within a few Adam steps' worth of drift
+    for tree_a, tree_b, label in [
+            (state_a.g_params, state_b.g_params, "g_params"),
+            (state_a.d_params, state_b.d_params, "d_params")]:
+        dev = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           tree_a, tree_b)
+        assert max(jax.tree.leaves(dev)) < 5e-4, (label, dev)
+    # aux is the LAST step's aux — not the zeros template and not an earlier
+    # step's.  (Pointwise equality is too strict: ~1e-4 param drift shifts
+    # soft-argmax keypoints, which MOVES warped pixels — so compare which
+    # step the carried image is closest to.)
+    got = np.asarray(metrics["aux"]["generated_d"])
+    assert np.abs(got).max() > 0
+    dists = [float(np.abs(got - np.asarray(m["aux"]["generated_d"])).mean())
+             for m in per_step]
+    assert int(np.argmin(dists)) == K - 1, dists

@@ -43,6 +43,19 @@ def parse_args(argv=None):
     parser.add_argument("--cpu_aug", type=str2bool, default=False,
                         help="use the CPU-parity augmentation path")
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--checkpoint_freq", type=int, default=1,
+                        help="save a checkpoint every N epochs (reference: "
+                             "every epoch, logger.py:183)")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="with --device_cache: K train steps per XLA "
+                             "dispatch (lax.scan over the HBM cache) — "
+                             "removes ALL per-step host work; 8 is a good "
+                             "default")
+    parser.add_argument("--device_cache", type=str2bool, default=False,
+                        help="decode the whole train split ONCE into device "
+                             "HBM (uint8) and sample batches by device-side "
+                             "gather — zero per-step pixel transfer; for "
+                             "datasets that fit a few GiB")
     parser.add_argument("--debug_nans", type=str2bool, default=False,
                         help="trap the first NaN (reference detect_anomaly parity)")
     parser.add_argument("--profile_dir", type=str, default="",
@@ -76,6 +89,8 @@ def build_config(args):
         num_repeats=args.num_repeats, train_vae=args.train_vae,
         ckp_dir=args.ckp_dir, vis_dir=args.vis_dir, log_file=args.log_file,
         seed=args.seed, debug_nans=args.debug_nans,
+        checkpoint_freq=args.checkpoint_freq,
+        steps_per_call=args.steps_per_call,
         profile_dir=args.profile_dir, tensorboard=args.tensorboard)
     data = dataclasses.replace(cfg.data, root_dir=args.root_dir,
                                num_workers=args.num_workers,
@@ -106,19 +121,40 @@ def main(argv=None):
     mesh = make_mesh(n_devices) if n_devices > 1 else None
     axis = DATA_AXIS if mesh is not None else None
 
-    # on-device aug (default): items are raw uint8 (source, driving) pairs —
-    # the fused augmentation runs inside the train step and the transfer is
-    # 4x smaller.  --cpu_aug keeps the reference's CPU transform parity path.
-    dataset = DatasetRepeater(
-        FramesDataset(cfg.data.root_dir, frame_shape=cfg.data.frame_shape,
-                      augmentation_params=None if args.cpu_aug else {},
-                      on_device_aug=not args.cpu_aug),
-        num_repeats=cfg.train.num_repeats)
     global_batch = cfg.train.batch_size * n_devices
-    loader = PrefetchLoader(dataset, batch_size=global_batch,
-                            num_workers=cfg.data.num_workers,
-                            shard=(jax.process_index(), jax.process_count()),
-                            seed=cfg.train.seed)
+    if args.steps_per_call > 1 and not args.device_cache:
+        raise SystemExit("--steps_per_call > 1 requires --device_cache "
+                         "(the scan dispatcher samples from the HBM cache)")
+    if args.device_cache:
+        if args.cpu_aug:
+            raise SystemExit("--device_cache requires the on-device aug path")
+        if mesh is not None:
+            raise SystemExit("--device_cache is single-device for now")
+        from facevae_tpu.data.device_cache import DeviceFrameCache, CachedLoader
+        cache = DeviceFrameCache(cfg.data.root_dir,
+                                 frame_shape=cfg.data.frame_shape,
+                                 num_workers=cfg.data.num_workers)
+        loader = CachedLoader(cache, batch_size=global_batch,
+                              num_items=cache.num_identities
+                              * cfg.train.num_repeats,
+                              seed=cfg.train.seed)
+        if is_master():
+            print(f"device cache: {cache.frames.shape[0]} frames "
+                  f"({cache.frames.nbytes / 2**20:.0f} MiB) in HBM")
+    else:
+        # on-device aug (default): items are raw uint8 (source, driving)
+        # pairs — the fused augmentation runs inside the train step and the
+        # transfer is 4x smaller.  --cpu_aug keeps the reference's CPU
+        # transform parity path.
+        dataset = DatasetRepeater(
+            FramesDataset(cfg.data.root_dir, frame_shape=cfg.data.frame_shape,
+                          augmentation_params=None if args.cpu_aug else {},
+                          on_device_aug=not args.cpu_aug),
+            num_repeats=cfg.train.num_repeats)
+        loader = PrefetchLoader(dataset, batch_size=global_batch,
+                                num_workers=cfg.data.num_workers,
+                                shard=(jax.process_index(), jax.process_count()),
+                                seed=cfg.train.seed)
 
     state = create_train_state(cfg, seed=cfg.train.seed, axis_name=axis)
     start_epoch = 0
