@@ -272,7 +272,11 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         # queue behind the checkpointer's ~1.6 GB device->host pull
         t_vis = time.time()
         if last_metrics is not None and is_master():
-            aux = jax.device_get(last_metrics["aux"])
+            # fp16 halves the ~80 MB device->host pull; display precision only
+            aux = jax.device_get(jax.tree.map(
+                lambda a: a.astype(jnp.float16) if a.dtype in
+                (jnp.float32, jnp.bfloat16) else a, last_metrics["aux"]))
+            aux = jax.tree.map(lambda a: np.asarray(a, np.float32), aux)
             s_np = np.asarray(last_batch[0])
             d_np = np.asarray(last_batch[1])
             if s_np.dtype == np.uint8:

@@ -139,3 +139,37 @@ def test_device_augmentation(rng):
     # deterministic under the same key
     out2 = jax.jit(lambda k, f: augment_batch(k, f, cfg))(jax.random.PRNGKey(0), frames)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_train_loop_scan_mode(data_dir, tmp_path):
+    """Loop-level scan mode: device-cache loader + steps_per_call>1 runs the
+    lax.scan dispatcher end-to-end — add.txt lines for every (truncated)
+    step, checkpoint written, vis PNG written."""
+    import dataclasses
+    from facevae_tpu.config import tiny_config
+    from facevae_tpu.data.device_cache import DeviceFrameCache, CachedLoader
+    from facevae_tpu.train import create_train_state
+    from facevae_tpu.train.loop import train_loop
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, num_epochs=1, steps_per_call=2,
+        ckp_dir=str(tmp_path / "ckp"), vis_dir=str(tmp_path / "vis"),
+        log_file=str(tmp_path / "log.txt")))
+    cache = DeviceFrameCache(data_dir, frame_shape=(64, 64, 3), num_workers=2)
+    # 5 steps of batch 2 -> truncates to 4 (2 chunks of K=2)
+    loader = CachedLoader(cache, batch_size=2, num_items=10, seed=0)
+
+    state = create_train_state(cfg, seed=0)
+    state = train_loop(cfg, state, loader)
+    assert int(state.step) == 4
+
+    # add.txt grammar: ONE epoch-mean G line + one D line per epoch
+    lines = open(cfg.train.log_file).read().strip().splitlines()
+    g_lines = [l for l in lines if l.startswith("G00000000)")]
+    d_lines = [l for l in lines if l.startswith("D00000000)")]
+    assert len(g_lines) == 1 and len(d_lines) == 1
+    assert os.path.exists(os.path.join(cfg.train.ckp_dir,
+                                       "00000000-checkpoint.msgpack"))
+    vis = os.listdir(cfg.train.vis_dir)
+    assert any(f.endswith("-rec.png") for f in vis)

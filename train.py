@@ -40,6 +40,10 @@ def parse_args(argv=None):
     parser.add_argument("--tiny", type=str2bool, default=False,
                         help="tiny 64px config (BASELINE configs[0])")
     parser.add_argument("--bf16", type=str2bool, default=False)
+    parser.add_argument("--remat", type=str2bool, default=True,
+                        help="rematerialize big forwards in the backward "
+                             "(saves HBM, ~9%% slower; 256² batch<=8 fits "
+                             "without it — bench.py runs remat off)")
     parser.add_argument("--cpu_aug", type=str2bool, default=False,
                         help="use the CPU-parity augmentation path")
     parser.add_argument("--seed", type=int, default=1)
@@ -83,7 +87,8 @@ def build_config(args):
     else:
         cfg = Config(model=ModelConfig(
             image_size=args.image_size,
-            compute_dtype="bfloat16" if args.bf16 else "float32"))
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+            remat=args.remat))
     train = TrainConfig(
         batch_size=args.batch_size, lr=args.lr, num_epochs=args.num_epochs,
         num_repeats=args.num_repeats, train_vae=args.train_vae,
