@@ -31,6 +31,7 @@ def run(dtype: str, steps_per_epoch: int, epochs: int, batch: int = 8):
     key = jax.random.PRNGKey(0)
 
     curves = []
+    steps_log = []                      # per-step loss dicts, all epochs
     for e in range(epochs):
         sums = {}
         pending = []
@@ -42,10 +43,12 @@ def run(dtype: str, steps_per_epoch: int, epochs: int, batch: int = 8):
             state, metrics = step(state, b, k)
             pending.append(metrics["losses_g"])
         for got in jax.device_get(pending):
-            for name, v in got.items():
-                sums[name] = sums.get(name, 0.0) + float(v)
+            row = {name: float(v) for name, v in got.items()}
+            steps_log.append(row)
+            for name, v in row.items():
+                sums[name] = sums.get(name, 0.0) + v
         curves.append({kk: vv / steps_per_epoch for kk, vv in sums.items()})
-    return curves
+    return curves, steps_log
 
 
 def main():
@@ -55,11 +58,28 @@ def main():
     enable_compilation_cache()
 
     t0 = time.time()
-    fp32 = run("float32", steps, epochs)
+    fp32, fp32_steps = run("float32", steps, epochs)
     print(f"# fp32 run done in {time.time()-t0:.0f}s", file=sys.stderr)
     t0 = time.time()
-    bf16 = run("bfloat16", steps, epochs)
+    bf16, bf16_steps = run("bfloat16", steps, epochs)
     print(f"# bf16 run done in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    # Per-step deviation growth: step 0 is pure dtype rounding (both runs
+    # start from IDENTICAL fp32 params and see identical batches); later
+    # steps accumulate parameter divergence.  The fp64 probe (PARITY.md)
+    # showed the keypoint losses sit on a chaotic trajectory — this view
+    # separates systematic bf16 bias (step 0) from chaos growth (slope).
+    print("\nper-step worst relative loss deviation (max over P G F E L H D C):")
+    for i in (0, 1, 2, 3, 5, 8, len(fp32_steps) - 1):
+        if i >= len(fp32_steps):
+            continue
+        a, b = fp32_steps[i], bf16_steps[i]
+        dev = max(abs(a[n] - b[n]) / max(1.0, abs(a[n]))
+                  for n in ("P", "G", "F", "E", "L", "H", "D", "C"))
+        per = "  ".join(
+            f"{n}={abs(a[n]-b[n])/max(1.0, abs(a[n])):.3%}"
+            for n in ("P", "E", "L", "H"))
+        print(f"  step {i:3d}: worst {dev:.3%}   ({per})")
 
     order = ["P", "G", "F", "E", "L", "H", "D", "C"]
     print(f"\n| epoch | " + " | ".join(f"{n} fp32 | {n} bf16" for n in order) + " |")

@@ -60,11 +60,10 @@ def main():
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
     cat = defaultdict(float)
-    total = 0.0
+    per_op = defaultdict(lambda: [0.0, 0, ""])   # name -> [us, count, tf_op]
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
-        pid_name = ev.get("pid")
         name = ev.get("name", "")
         args = ev.get("args") or {}
         # device events carry 'device_duration_ps' or live on TPU pids; use
@@ -72,14 +71,23 @@ def main():
         dur = ev.get("dur", 0)  # microseconds
         if not dur:
             continue
-        src = args.get("source", "")
         if "tid" in ev and isinstance(ev.get("args"), dict) and args.get("device_duration_ps"):
             dur = float(args["device_duration_ps"]) / 1e6  # ps->us
         key_ = name.split(".")[0].split("(")[0]
         cat[key_] += dur
+        if args.get("device_duration_ps"):
+            rec = per_op[name]
+            rec[0] += dur
+            rec[1] += 1
+            rec[2] = (args.get("tf_op") or args.get("long_name") or "")[:140]
     top = sorted(cat.items(), key=lambda kv: -kv[1])[:40]
     for name, us in top:
         print(f"{us/1e3/2:9.2f} ms  {name}")
+    if per_op:
+        print("\n# top individual device ops (2 steps; ms is per step)")
+        for name, (us, n, tf_op) in sorted(
+                per_op.items(), key=lambda kv: -kv[1][0])[:45]:
+            print(f"{us/1e3/2:9.2f} ms  x{n:<3d} {name}  [{tf_op}]")
 
 
 if __name__ == "__main__":
