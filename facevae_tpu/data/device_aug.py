@@ -72,9 +72,9 @@ def _rotation_homography(key: jax.Array, size: int, degrees: float) -> jnp.ndarr
     return t2 @ r @ t1
 
 
-def _warp(frame: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
-    """Apply homography H (dst<-src pixel coords) via one grid_sample."""
-    h, w, _ = frame.shape
+def _warp_coords(H: jnp.ndarray, h: int, w: int):
+    """Source pixel coords (x, y), each [h*w] fp32, for homography H
+    (dst<-src), clamped to the image (cv2 BORDER_REPLICATE semantics)."""
     Hinv = jnp.linalg.inv(H)
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -82,11 +82,42 @@ def _warp(frame: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
     pts = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)
     src = pts @ Hinv.T
     src = src[:, :2] / src[:, 2:3]
-    gx = src[:, 0] / (w - 1) * 2.0 - 1.0
-    gy = src[:, 1] / (h - 1) * 2.0 - 1.0
-    grid = jnp.stack([gx, gy], axis=-1).reshape(1, h, w, 2)
+    gx = jnp.clip(src[:, 0], 0.0, float(w - 1))
+    gy = jnp.clip(src[:, 1], 0.0, float(h - 1))
+    return gx, gy
+
+
+def _warp(frame: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
+    """Apply homography H (dst<-src pixel coords) via one grid_sample."""
+    h, w, _ = frame.shape
+    gx, gy = _warp_coords(H, h, w)
+    grid = jnp.stack([gx / (w - 1) * 2.0 - 1.0,
+                      gy / (h - 1) * 2.0 - 1.0], axis=-1).reshape(1, h, w, 2)
     return grid_sample_2d(frame[None], grid, align_corners=True,
                           padding_mode="border")[0]
+
+
+def _warp_batch(frames: jnp.ndarray, Hs: jnp.ndarray) -> jnp.ndarray:
+    """Batched homography warp [N,H,W,3] x [N,3,3] -> [N,H,W,3].
+
+    TPU fast path: the coords are already clamped to the interior (border
+    padding == plain interior sampling), so the warp runs as ONE bf16
+    one-hot-matmul multi-warp call (D=1 volume) — the same MXU dispatch the
+    TPS equivariance warp uses (ops/tps.py transform_frame).  Measured
+    vs the per-frame gather path on v5e: 4.0 vs 15.6 ms/batch-8 at 256²,
+    max pixel deviation 0.0116 on [0,1] images.  The gather path stays as
+    the CPU/no-plan fallback; augmentation is functional-equivalence
+    territory (module docstring), so bf16 interpolation rounding is
+    acceptable here."""
+    N, h, w, _ = frames.shape
+    gx, gy = jax.vmap(lambda H: _warp_coords(H, h, w))(Hs)   # [N, h*w]
+    from facevae_tpu.ops.fast_warp import warp_multi_pixel, _multi_plan
+    x = frames.astype(jnp.bfloat16)[:, None]                 # [N,1,h,w,3]
+    if _multi_plan(x, 1, h * w) is not None:
+        out = warp_multi_pixel(x, gx[:, None], gy[:, None],
+                               jnp.zeros_like(gx[:, None]), (1, h, w))
+        return out.reshape(N, h, w, frames.shape[-1]).astype(frames.dtype)
+    return jax.vmap(_warp)(frames, Hs)
 
 
 def _color_jitter(key: jax.Array, frame: jnp.ndarray, strength: float) -> jnp.ndarray:
@@ -138,12 +169,17 @@ def _hsv_to_rgb(hsv):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def augment_frame(key: jax.Array, frame: jnp.ndarray, cfg: DataConfig) -> jnp.ndarray:
-    """One frame [H,W,3] -> augmented frame (rotation+perspective+jitter)."""
+def _frame_draws(key: jax.Array, size: int, cfg: DataConfig):
+    """Per-frame random draws: (homography, jitter key, flip key)."""
     k_rot, k_pers, k_jit, k_flip = jax.random.split(key, 4)
-    size = frame.shape[0]
     H = (_perspective_homography(k_pers, size, cfg.pers_num, cfg.enlarge_num)
          @ _rotation_homography(k_rot, size, cfg.rotation_degrees))
+    return H, k_jit, k_flip
+
+
+def augment_frame(key: jax.Array, frame: jnp.ndarray, cfg: DataConfig) -> jnp.ndarray:
+    """One frame [H,W,3] -> augmented frame (rotation+perspective+jitter)."""
+    H, k_jit, k_flip = _frame_draws(key, frame.shape[0], cfg)
     out = _warp(frame, H)
     out = _color_jitter(k_jit, out, cfg.jitter)
     if cfg.use_flip:
@@ -152,6 +188,18 @@ def augment_frame(key: jax.Array, frame: jnp.ndarray, cfg: DataConfig) -> jnp.nd
 
 
 def augment_batch(key: jax.Array, frames: jnp.ndarray, cfg: DataConfig) -> jnp.ndarray:
-    """[N,H,W,3] -> [N,H,W,3], independent per-frame draws (vmapped)."""
+    """[N,H,W,3] -> [N,H,W,3], independent per-frame draws.
+
+    The homography warp runs as ONE batched MXU warp call (_warp_batch):
+    15.6 -> 4.0 ms/batch-8 at 256² on v5e (device_get-synced A/B, PERF.md
+    round-4) vs the per-frame grid_sample gather path; jitter/flip stay
+    vmapped elementwise.  Draw order per frame matches augment_frame."""
     keys = jax.random.split(key, frames.shape[0])
-    return jax.vmap(lambda k, f: augment_frame(k, f, cfg))(keys, frames)
+    size = frames.shape[1]
+    Hs, k_jits, k_flips = jax.vmap(lambda k: _frame_draws(k, size, cfg))(keys)
+    out = _warp_batch(frames, Hs)
+    out = jax.vmap(lambda k, f: _color_jitter(k, f, cfg.jitter))(k_jits, out)
+    if cfg.use_flip:
+        flips = jax.vmap(jax.random.bernoulli)(k_flips)
+        out = jnp.where(flips[:, None, None, None], out[:, :, ::-1], out)
+    return out
