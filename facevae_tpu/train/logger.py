@@ -111,7 +111,9 @@ class Visualizer:
     def visualize(self, s, d, generated_d, transformed_d, kp_s, kp_d,
                   transformed_kp, occlusion, mask) -> np.ndarray:
         """All inputs channel-last numpy: images [N,H,W,3], occlusion [N,h,w,1],
-        mask [N,D,h,w,K+1]."""
+        mask [N,D,h,w,K+1] or pre-summed over depth [N,h,w,K+1] (the train
+        aux carries the depth-summed form — the display only ever shows the
+        depth sum, and the full volume is 16x the device->host traffic)."""
         cols = []
         cols.append(self._column(np.stack([self._draw_kp(im, k[:, :2])
                                            for im, k in zip(s, kp_s)])))
@@ -129,7 +131,8 @@ class Visualizer:
         if mask is not None:
             K1 = mask.shape[-1]
             for i in range(K1):
-                m = mask[..., i].sum(axis=1, keepdims=False)        # sum over depth
+                m = (mask[..., i].sum(axis=1) if mask.ndim == 5
+                     else mask[..., i])                             # sum over depth
                 m = np.repeat(m[..., None], 3, axis=-1)
                 m = _nearest_resize(m, (H, W))
                 if i != 0:

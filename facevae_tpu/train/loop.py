@@ -39,6 +39,17 @@ _PROFILE_START = 10
 _SYNC_EVERY = 8          # steps between batched metric fetches (depth bound)
 
 
+@jax.jit
+def _vis_cast(aux):
+    """Cast the vis aux tree to fp16 in ONE compiled program.  Eager per-leaf
+    astype through the axon tunnel pays a remote dispatch (and on first use a
+    remote compile) per leaf — measured minutes of epoch-boundary 'vis' time;
+    a single jit makes it one dispatch."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float16)
+        if a.dtype in (jnp.float32, jnp.bfloat16) else a, aux)
+
+
 def _device_prefetch(loader, sharding, depth: int = 2):
     """Yield loader batches as device arrays, transferred by a background
     thread so the host->device copy of batch n+1 overlaps step n."""
@@ -249,7 +260,8 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                 index = epoch * len(loader) + idx
                 all_losses = {**losses_g, **losses_d}
                 writer.add_scalars("loss_all", all_losses, index)
-                aux = jax.device_get(metrics["aux"])
+                aux = jax.device_get(_vis_cast(metrics["aux"]))
+                aux = jax.tree.map(lambda a: np.asarray(a, np.float32), aux)
                 image = visualizer.visualize(
                     np.asarray(s), np.asarray(d), aux["generated_d"],
                     aux["transformed_d"], aux["kp_s"], aux["kp_d"],
@@ -272,10 +284,8 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         # queue behind the checkpointer's ~1.6 GB device->host pull
         t_vis = time.time()
         if last_metrics is not None and is_master():
-            # fp16 halves the ~80 MB device->host pull; display precision only
-            aux = jax.device_get(jax.tree.map(
-                lambda a: a.astype(jnp.float16) if a.dtype in
-                (jnp.float32, jnp.bfloat16) else a, last_metrics["aux"]))
+            # fp16 halves the device->host pull; display precision only
+            aux = jax.device_get(_vis_cast(last_metrics["aux"]))
             aux = jax.tree.map(lambda a: np.asarray(a, np.float32), aux)
             s_np = np.asarray(last_batch[0])
             d_np = np.asarray(last_batch[1])

@@ -202,7 +202,10 @@ def generator_forward(models: Dict[str, Any], teachers: Dict[str, Any],
         "kp_d": kp_d,
         "transformed_kp": transformed_kp,
         "occlusion": occlusion.astype(jnp.float32),
-        "mask": mask,
+        # depth-summed display form [N,h,w,K+1]: the visualizer only shows
+        # the depth sum, and the full [N,D,h,w,K+1] volume is ~33 MB fp32 at
+        # batch 8 — 16x the scan-carry and device->host cost for no signal
+        "mask": mask.sum(axis=1),
     }
     return losses, aux
 
