@@ -13,6 +13,7 @@ training call, u persisted in the 'spectral' collection.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -24,6 +25,85 @@ from facevae_tpu.nn.init import torch_kernel_init, torch_bias_init
 
 def _l2norm(v, eps=1e-12):
     return v / (jnp.linalg.norm(v) + eps)
+
+
+def _mxu_dw_enabled() -> bool:
+    """MXU-layout weight gradients for channel-last convs.
+
+    XLA lowers a conv's dW as another convolution whose CONTRACTED feature
+    dimension is the batch (N=8 at the canonical config): 8/128 lanes =
+    6% lane efficiency, and the census (tools/conv_inventory.py) puts ~1/3
+    of all train-step conv FLOPs in that form.  The custom VJP below keeps
+    XLA's forward and dx (both lane-efficient) but computes dW as
+    shift-and-dot: one matmul per kernel offset contracting over N x
+    out-spatial (large K, Cin on sublanes, Cout on lanes — native MXU
+    layout).  FACEVAE_MXU_DW: "auto" (default — TPU only), "1" (always —
+    CPU equality tests), "0" (never)."""
+    import os
+    v = os.environ.get("FACEVAE_MXU_DW", "auto")
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    return v not in ("0", "false", "")
+
+
+def _conv_cl_raw(x, w, strides, padding):
+    d = len(strides)
+    sp = "DHW"[3 - d:]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("N" + sp + "C", sp + "IO", "N" + sp + "C"))
+    return jax.lax.conv_general_dilated(x, w, strides, list(padding),
+                                        dimension_numbers=dn)
+
+
+def _dw_shift_dot(x, g, ks, strides, padding):
+    """dW[off, ci, co] = sum_{n, p} x_pad[n, p*stride + off, ci] * g[n, p, co]
+    as prod(ks) matmuls with contraction over (n, out_spatial)."""
+    import itertools
+    d = len(ks)
+    xp = jnp.pad(x, [(0, 0)] + [tuple(p) for p in padding] + [(0, 0)])
+    out_sp = g.shape[1:-1]
+    N, Cin, Cout = x.shape[0], x.shape[-1], g.shape[-1]
+    letters = "abc"[:d]
+    subs = f"n{letters}i,n{letters}o->io"
+    dws = []
+    for off in itertools.product(*[range(k) for k in ks]):
+        start = (0,) + off + (0,)
+        limit = (N,) + tuple(o + (s - 1) * st + 1
+                             for o, s, st in zip(off, out_sp, strides)) + (Cin,)
+        xs = jax.lax.slice(xp, start, limit, (1,) + tuple(strides) + (1,))
+        dws.append(jnp.einsum(subs, xs, g,
+                              preferred_element_type=jnp.float32))
+    return jnp.stack(dws).reshape(tuple(ks) + (Cin, Cout)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_cl_mxu(x, w, strides, padding):
+    return _conv_cl_raw(x, w, strides, padding)
+
+
+def _conv_cl_mxu_fwd(x, w, strides, padding):
+    return _conv_cl_raw(x, w, strides, padding), (x, w)
+
+
+def _conv_cl_mxu_bwd(strides, padding, res, g):
+    x, w = res
+    _, dx_vjp = jax.vjp(lambda xx: _conv_cl_raw(xx, w, strides, padding), x)
+    dx, = dx_vjp(g)
+    dw = _dw_shift_dot(x, g, w.shape[:-2], strides, padding)
+    return dx, dw
+
+
+_conv_cl_mxu.defvjp(_conv_cl_mxu_fwd, _conv_cl_mxu_bwd)
+
+
+def conv_cl(x, w, strides, padding):
+    """Channel-last conv ([N, *S, Ci] x [*k, Ci, Co]); on TPU the weight
+    gradient runs in MXU layout (see _mxu_dw_enabled)."""
+    strides = tuple(int(s) for s in strides)
+    padding = tuple((int(p[0]), int(p[1])) for p in padding)
+    if _mxu_dw_enabled():
+        return _conv_cl_mxu(x, w, strides, padding)
+    return _conv_cl_raw(x, w, strides, padding)
 
 
 class Conv(nn.Module):
@@ -114,17 +194,8 @@ class Conv(nn.Module):
             y = _z_banded_conv3d(x.astype(dtype), kernel.astype(dtype),
                                  (pd[1], pd[2]))
         else:
-            dn_spatial = "DHW"[3 - d:] if d < 3 else "DHW"
-            lhs_spec = "N" + dn_spatial + "C"
-            rhs_spec = dn_spatial + "IO"
-            dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                                (lhs_spec, rhs_spec, lhs_spec))
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype), kernel.astype(dtype),
-                window_strides=st,
-                padding=[(p, p) for p in pd],
-                dimension_numbers=dn,
-            )
+            y = conv_cl(x.astype(dtype), kernel.astype(dtype), st,
+                        [(p, p) for p in pd])
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
             y = y + bias.astype(dtype)
@@ -191,10 +262,7 @@ def _s2d_conv3d_packed(xp, kernel):
     E = jnp.asarray(_s2d_phase_indicator(), kernel.dtype)
     wp = jnp.einsum("tpqd,TPQD,zdDio->ztTpPiqQo", E, E, kernel)
     wp = wp.reshape(3, 3, 3, 4 * Ci, 4 * Co)
-    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
-                                        ("NDHWC", "DHWIO", "NDHWC"))
-    return jax.lax.conv_general_dilated(xp, wp, (1, 1, 1), [(1, 1)] * 3,
-                                        dimension_numbers=dn)
+    return conv_cl(xp, wp, (1, 1, 1), [(1, 1)] * 3)
 
 
 def _s2d_conv2d_packed(xp, kernel):
@@ -206,11 +274,7 @@ def _s2d_conv2d_packed(xp, kernel):
     kp = E.shape[0]
     wp = jnp.einsum("tpqd,TPQD,dDio->tTpPiqQo", E, E, kernel)
     wp = wp.reshape(kp, kp, 4 * Ci, 4 * Co)
-    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    return jax.lax.conv_general_dilated(xp, wp, (1, 1),
-                                        [(kp // 2, kp // 2)] * 2,
-                                        dimension_numbers=dn)
+    return conv_cl(xp, wp, (1, 1), [(kp // 2, kp // 2)] * 2)
 
 
 def _s2d_conv3d(x, kernel):
@@ -250,10 +314,7 @@ def _z_banded_conv3d(x, kernel, pad_yx):
     W2 = jnp.einsum("zpq,zyxio->yxpiqo", jnp.asarray(E, kernel.dtype), kernel)
     W2 = W2.reshape(ky, kx, D * Ci, D * Co)
     x2 = x.transpose(0, 2, 3, 1, 4).reshape(N, H, W, D * Ci)
-    dn = jax.lax.conv_dimension_numbers(x2.shape, W2.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    y = jax.lax.conv_general_dilated(
-        x2, W2, (1, 1), [(p, p) for p in pad_yx], dimension_numbers=dn)
+    y = conv_cl(x2, W2, (1, 1), [(p, p) for p in pad_yx])
     return y.reshape(N, H, W, D, Co).transpose(0, 3, 1, 2, 4)
 
 

@@ -308,3 +308,68 @@ def test_linear_elr_parity(rng):
             expect = F.leaky_relu(expect, 0.2)
         got = np.asarray(m.apply(v, jnp.asarray(x)))
         np.testing.assert_allclose(got, expect.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_mxu_dw_conv_grads_match_xla(rng):
+    """The MXU-layout weight-gradient path (_conv_cl_mxu: XLA fwd/dx +
+    shift-and-dot dW) must produce the same value and gradients as XLA's
+    conv VJP for every shape family the models use: 2D/3D, stride 1 and 2,
+    SAME and VALID padding, asymmetric spatial sizes."""
+    from facevae_tpu.nn.layers import _conv_cl_mxu, _conv_cl_raw
+
+    cases = [
+        # (x_shape, k_spatial, strides, padding)
+        ((2, 10, 12, 5), (3, 3), (1, 1), ((1, 1), (1, 1))),
+        ((2, 9, 9, 4), (3, 3), (2, 2), ((1, 1), (1, 1))),
+        ((2, 12, 12, 6), (7, 7), (1, 1), ((3, 3), (3, 3))),
+        ((2, 8, 8, 4), (1, 1), (1, 1), ((0, 0), (0, 0))),
+        ((2, 6, 8, 10, 5), (3, 3, 3), (1, 1, 1), ((1, 1), (1, 1), (1, 1))),
+        ((2, 6, 8, 8, 4), (3, 3, 3), (1, 2, 2), ((1, 1), (1, 1), (1, 1))),
+        ((2, 5, 7, 7, 3), (5, 3, 3), (1, 1, 1), ((2, 2), (0, 0), (1, 1))),
+    ]
+    for x_shape, ks, st, pd in cases:
+        Cout = 7
+        x = jnp.asarray(rng.randn(*x_shape).astype(np.float32))
+        w = jnp.asarray(
+            rng.randn(*ks, x_shape[-1], Cout).astype(np.float32) * 0.1)
+
+        def loss(fn, x, w):
+            y = fn(x, w, st, pd)
+            # non-uniform cotangent so dx/dW exercise real per-position grads
+            return jnp.sum(y * jnp.cos(0.37 * jnp.arange(y.size)
+                                       .reshape(y.shape)))
+
+        y_raw = _conv_cl_raw(x, w, st, pd)
+        y_mxu = _conv_cl_mxu(x, w, st, pd)
+        np.testing.assert_allclose(np.asarray(y_mxu), np.asarray(y_raw),
+                                   rtol=1e-5, atol=1e-5)
+
+        gx_raw, gw_raw = jax.grad(lambda a, b: loss(_conv_cl_raw, a, b),
+                                  argnums=(0, 1))(x, w)
+        gx_mxu, gw_mxu = jax.grad(lambda a, b: loss(_conv_cl_mxu, a, b),
+                                  argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_mxu), np.asarray(gx_raw),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_mxu), np.asarray(gw_raw),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_dw_conv_forced_through_layer(rng, monkeypatch):
+    """FACEVAE_MXU_DW=1 forces the custom-VJP path on CPU; a Conv layer's
+    value and parameter gradients must match the default XLA path."""
+    monkeypatch.setenv("FACEVAE_MXU_DW", "0")
+    x = jnp.asarray(rng.randn(2, 4, 10, 10, 6).astype(np.float32))
+    m = Conv(8, 3, strides=1, padding=1, dim=3)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        y = m.apply({"params": params}, x)
+        return jnp.sum(y * jnp.sin(0.11 * jnp.arange(y.size).reshape(y.shape)))
+
+    g_off = jax.grad(loss)(v["params"], x)
+    monkeypatch.setenv("FACEVAE_MXU_DW", "1")
+    g_on = jax.grad(loss)(v["params"], x)
+    for name in ("kernel", "bias"):
+        np.testing.assert_allclose(np.asarray(g_on[name]),
+                                   np.asarray(g_off[name]),
+                                   rtol=1e-4, atol=1e-4)
