@@ -28,22 +28,23 @@ def _l2norm(v, eps=1e-12):
 
 
 def _mxu_dw_enabled() -> bool:
-    """MXU-layout weight gradients for channel-last convs.
+    """MXU-layout weight gradients for channel-last convs — PROBED, default
+    OFF (FACEVAE_MXU_DW=1 to enable; the grad-equality tests force it on).
 
-    XLA lowers a conv's dW as another convolution whose CONTRACTED feature
-    dimension is the batch (N=8 at the canonical config): 8/128 lanes =
-    6% lane efficiency, and the census (tools/conv_inventory.py) puts ~1/3
-    of all train-step conv FLOPs in that form.  The custom VJP below keeps
-    XLA's forward and dx (both lane-efficient) but computes dW as
-    shift-and-dot: one matmul per kernel offset contracting over N x
-    out-spatial (large K, Cin on sublanes, Cout on lanes — native MXU
-    layout).  FACEVAE_MXU_DW: "auto" (default — TPU only), "1" (always —
-    CPU equality tests), "0" (never)."""
+    Hypothesis: XLA's StableHLO lowers a conv's dW as another convolution
+    whose CONTRACTED feature dimension is the batch (8/128 lanes = 6% lane
+    efficiency by the naive census metric, tools/conv_inventory.py — ~1/3
+    of all train-step conv FLOPs in that form).  The custom VJP below keeps
+    XLA's forward and dx and computes dW as shift-and-dot: one matmul per
+    kernel offset contracting over N x out-spatial.  MEASURED DEAD
+    (tools/microbench_dw.py, PERF.md round-4): across seven shape families
+    covering every census bucket the two paths are within run-to-run
+    variance except strided/small-channel convs where the strided slice
+    reads make shift-and-dot 2x WORSE — i.e. the TPU backend does NOT
+    execute dW at the StableHLO-visible layout; it retiles internally and
+    already sits near its floor.  Kept as an A/B knob + negative evidence."""
     import os
-    v = os.environ.get("FACEVAE_MXU_DW", "auto")
-    if v == "auto":
-        return jax.default_backend() == "tpu"
-    return v not in ("0", "false", "")
+    return os.environ.get("FACEVAE_MXU_DW", "0") not in ("0", "false", "")
 
 
 def _conv_cl_raw(x, w, strides, padding):

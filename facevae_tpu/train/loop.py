@@ -144,13 +144,22 @@ class _MetricBuffer:
 
     def _run(self):
         while True:
-            group = self._q.get()
+            # greedy: batch every queued group into ONE device_get — each
+            # fetch pays a tunnel round trip, so per-group fetches cap the
+            # worker below the dispatch rate and backpressure the hot loop
+            groups = [self._q.get()]
+            while True:
+                try:
+                    groups.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
             try:
-                self._process(group)
+                self._process([p for g in groups for p in g])
             except Exception as e:           # surfaced on the next flush/drain
                 self._err.append(e)
             finally:
-                self._q.task_done()
+                for _ in groups:
+                    self._q.task_done()
 
     def _process(self, group):
         host = jax.device_get(group)
@@ -219,7 +228,11 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                     f"scan mode: epoch truncated to {len(loader) // K * K} "
                     f"of {len(loader)} steps (steps_per_call={K})")
             last_chunk = None
-            for cidx, (s_idx, d_idx) in enumerate(loader.iter_index_chunks(K)):
+            # index chunks are host-sampled then staged to device by the
+            # prefetch thread so the [K,B] transfers overlap device compute
+            # (a synchronous per-dispatch transfer pays the tunnel RTT twice)
+            chunk_iter = _device_prefetch(loader.iter_index_chunks(K), None)
+            for cidx, (s_idx, d_idx) in enumerate(chunk_iter):
                 if cfg.train.profile_dir and not profiling and cidx == 1:
                     jax.profiler.start_trace(cfg.train.profile_dir)
                     profiling = True
@@ -246,11 +259,13 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                 n_frames += s_idx.size
                 metrics_buf.push(metrics["losses_g"], metrics["losses_d"])
                 metrics_buf.flush()          # async fetch; bounded-queue depth
-                last_chunk, last_metrics = (s_idx[-1], d_idx[-1]), metrics
+                # keep whole device arrays; slicing here would be an eager
+                # per-dispatch device op (tunnel round trip)
+                last_chunk, last_metrics = (s_idx, d_idx), metrics
             if last_chunk is not None:
                 # epoch visualizer inputs: gather the final step's (s, d)
-                last_batch = (loader.cache.gather(last_chunk[0]),
-                              loader.cache.gather(last_chunk[1]))
+                last_batch = (loader.cache.gather(last_chunk[0][-1]),
+                              loader.cache.gather(last_chunk[1][-1]))
         step_iter = (() if scan_mode
                      else enumerate(_device_prefetch(loader, sharding)))
         for idx, batch in step_iter:
@@ -324,20 +339,27 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         # vis BEFORE the checkpoint snapshot: its ~80 MB aux fetch must not
         # queue behind the checkpointer's ~1.6 GB device->host pull
         t_vis = time.time()
+        vis_detail = ""
         if last_metrics is not None and is_master():
             # fp16 halves the device->host pull; display precision only
             aux = jax.device_get(_vis_cast(last_metrics["aux"]))
             aux = jax.tree.map(lambda a: np.asarray(a, np.float32), aux)
+            t1 = time.time()
             s_np = np.asarray(last_batch[0])
             d_np = np.asarray(last_batch[1])
             if s_np.dtype == np.uint8:
                 s_np = s_np.astype(np.float32) / 255.0
                 d_np = d_np.astype(np.float32) / 255.0
+            t2 = time.time()
             image = visualizer.visualize(
                 s_np, d_np, aux["generated_d"], aux["transformed_d"],
                 aux["kp_s"], aux["kp_d"], aux["transformed_kp"],
                 aux["occlusion"], aux["mask"])
+            t3 = time.time()
             save_visualization(cfg.train.vis_dir, epoch, image)
+            t4 = time.time()
+            vis_detail = (f" [aux-get {t1 - t_vis:.1f} batch-get {t2 - t1:.1f}"
+                          f" draw {t3 - t2:.1f} write {t4 - t3:.1f}]")
         t_vis = time.time() - t_vis
         t_ckpt = time.time()
         if (epoch + 1) % cfg.train.checkpoint_freq == 0:
@@ -348,7 +370,8 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         total = dt + t_ckpt + t_vis
         master_only_print(
             f"epoch {epoch}: {n_frames / max(total, 1e-9):.2f} frames/s "
-            f"(steps {dt:.1f}s, ckpt-snap {t_ckpt:.1f}s, vis {t_vis:.1f}s)")
+            f"(steps {dt:.1f}s, ckpt-snap {t_ckpt:.1f}s, vis {t_vis:.1f}s"
+            f"{vis_detail})")
     checkpointer.wait()
     scalar_log.close()
     return state
