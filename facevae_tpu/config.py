@@ -114,6 +114,9 @@ class TrainConfig:
     vis_dir: str = "vis"
     log_file: str = "log.txt"
     checkpoint_freq: int = 1
+    # retention: keep only the N newest epoch checkpoints (0 = keep all —
+    # the reference's behavior, ~240 GB over a 150-epoch run, logger.py:93-102)
+    keep_checkpoints: int = 5
     seed: int = 1
     vis_every: int = 50              # tensorboard cadence (reference logger.py:177)
     sigma_affine: float = 0.05       # Transform / equivariance TPS

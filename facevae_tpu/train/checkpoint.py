@@ -12,7 +12,8 @@ the reference can leave torn files on crash).
 from __future__ import annotations
 
 import os
-from typing import Optional
+import re
+from typing import List, Optional, Tuple
 
 import jax
 from flax import serialization
@@ -20,12 +21,51 @@ from flax import serialization
 from facevae_tpu.parallel import is_master
 from facevae_tpu.train.state import TrainState
 
+_CKPT_RE = re.compile(r"^(\d{8})-checkpoint\.msgpack$")
+
 
 def checkpoint_path(ckp_dir: str, epoch: int, zfill_num: int = 8) -> str:
     return os.path.join(ckp_dir, f"{str(epoch).zfill(zfill_num)}-checkpoint.msgpack")
 
 
-def save_checkpoint(ckp_dir: str, state: TrainState, epoch: int) -> Optional[str]:
+def list_checkpoints(ckp_dir: str) -> List[Tuple[int, str]]:
+    """Epoch-sorted [(epoch, path)] of complete checkpoints in ckp_dir."""
+    if not os.path.isdir(ckp_dir):
+        return []
+    out = []
+    for name in os.listdir(ckp_dir):
+        m = _CKPT_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(ckp_dir, name)))
+    return sorted(out)
+
+
+def latest_checkpoint_epoch(ckp_dir: str) -> Optional[int]:
+    ckpts = list_checkpoints(ckp_dir)
+    return ckpts[-1][0] if ckpts else None
+
+
+def prune_checkpoints(ckp_dir: str, keep: int) -> List[str]:
+    """Delete all but the `keep` newest epoch checkpoints (keep <= 0: keep
+    all).  The reference writes one ~GB .pth.tar per epoch forever
+    (logger.py:93-102 + checkpoint_freq 1): a 150-epoch run is ~240 GB of
+    checkpoints.  Retention is the TPU-first fix the reference lacks; resume
+    always targets one of the retained (newest) epochs."""
+    removed = []
+    if keep <= 0:
+        return removed
+    ckpts = list_checkpoints(ckp_dir)
+    for _, path in ckpts[:-keep] if len(ckpts) > keep else []:
+        try:
+            os.remove(path)
+            removed.append(path)
+        except OSError:
+            pass                      # a racing reader holds it; retry next save
+    return removed
+
+
+def save_checkpoint(ckp_dir: str, state: TrainState, epoch: int,
+                    keep: int = 0) -> Optional[str]:
     if not is_master():
         return None
     os.makedirs(ckp_dir, exist_ok=True)
@@ -36,6 +76,7 @@ def save_checkpoint(ckp_dir: str, state: TrainState, epoch: int) -> Optional[str
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
+    prune_checkpoints(ckp_dir, keep)
     return path
 
 
@@ -67,14 +108,15 @@ class AsyncCheckpointer:
                 lambda s: jax.tree.map(jnp.copy, s))
         return self._snapshot(state)
 
-    def save(self, ckp_dir: str, state: TrainState, epoch: int) -> None:
+    def save(self, ckp_dir: str, state: TrainState, epoch: int,
+             keep: int = 0) -> None:
         if not is_master():
             return
         self.wait()
         snap = self._snap(state)         # distinct buffers; donation-safe
 
         def write():
-            save_checkpoint(ckp_dir, snap, epoch)
+            save_checkpoint(ckp_dir, snap, epoch, keep=keep)
 
         self._thread = self._threading.Thread(target=write, daemon=True)
         self._thread.start()

@@ -28,6 +28,37 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_retention_and_latest(tmp_path):
+    """Retention policy (--keep_checkpoints): only the N newest epoch files
+    survive, latest_checkpoint_epoch finds the resume target, and the
+    retained latest restores (the reference keeps every ~GB epoch file
+    forever, logger.py:93-102)."""
+    from facevae_tpu.train.checkpoint import (
+        latest_checkpoint_epoch, list_checkpoints, prune_checkpoints)
+
+    cfg = tiny_config()
+    ckp_dir = str(tmp_path)
+    assert latest_checkpoint_epoch(ckp_dir) is None
+    state = create_train_state(cfg, seed=0)
+    for epoch in range(5):
+        st = state.replace(step=jnp.asarray(epoch * 10, jnp.int32),
+                           epoch=jnp.asarray(epoch, jnp.int32))
+        save_checkpoint(ckp_dir, st, epoch, keep=3)
+    assert [e for e, _ in list_checkpoints(ckp_dir)] == [2, 3, 4]
+    assert latest_checkpoint_epoch(ckp_dir) == 4
+
+    # resume-from-latest restores the newest retained epoch
+    template = create_train_state(cfg, seed=1)
+    restored = load_checkpoint(ckp_dir, latest_checkpoint_epoch(ckp_dir), template)
+    assert int(restored.epoch) == 4 and int(restored.step) == 40
+
+    # keep=0 never prunes; explicit prune respects keep
+    save_checkpoint(ckp_dir, state.replace(epoch=jnp.asarray(5, jnp.int32)), 5)
+    assert len(list_checkpoints(ckp_dir)) == 4
+    prune_checkpoints(ckp_dir, keep=1)
+    assert [e for e, _ in list_checkpoints(ckp_dir)] == [5]
+
+
 def test_crash_save_on_any_exception(rng, tmp_path, monkeypatch):
     """Quirk q5 full parity (reference logger.py:67-68 saves on GC whatever
     killed the loop): a non-KeyboardInterrupt failure mid-epoch must still
