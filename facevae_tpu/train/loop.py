@@ -190,12 +190,13 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
 
     fused_aug = cfg.data.on_device_aug
     # scan mode: K steps per dispatch over the HBM frame cache — requires
-    # the device-cache loader (index-table sampling), fused aug, one device
-    scan_mode = (cfg.train.steps_per_call > 1 and mesh is None
+    # the device-cache loader (index-table sampling) and fused aug; with a
+    # mesh the cache/scan shard over DATA_AXIS (train/scan.py)
+    scan_mode = (cfg.train.steps_per_call > 1
                  and fused_aug and hasattr(loader, "iter_index_chunks"))
     if scan_mode:
         from facevae_tpu.train.scan import make_scan_train_step
-        models, step = make_scan_train_step(cfg)
+        models, step = make_scan_train_step(cfg, mesh=mesh)
     else:
         models, step = make_train_step(cfg, mesh=mesh, fused_aug=fused_aug)
     key = jax.random.PRNGKey(cfg.train.seed)
@@ -223,10 +224,11 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         n_frames = 0
         if scan_mode:
             K = cfg.train.steps_per_call
-            if len(loader) % K:
+            if epoch == start_epoch and len(loader) % K:
                 master_only_print(
-                    f"scan mode: epoch truncated to {len(loader) // K * K} "
-                    f"of {len(loader)} steps (steps_per_call={K})")
+                    f"scan mode: {len(loader)} steps/epoch = "
+                    f"{len(loader) // K} chunks of {K} + one remainder chunk "
+                    f"of {len(loader) % K} (one extra compile)")
             last_chunk = None
             # index chunks are host-sampled then staged to device by the
             # prefetch thread so the [K,B] transfers overlap device compute
@@ -255,7 +257,7 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                     profiling = False
                     master_only_print(
                         f"profiler trace written to {cfg.train.profile_dir}")
-                global_step += K
+                global_step += int(s_idx.shape[0])   # K, or the remainder chunk
                 n_frames += s_idx.size
                 metrics_buf.push(metrics["losses_g"], metrics["losses_d"])
                 metrics_buf.flush()          # async fetch; bounded-queue depth
@@ -365,7 +367,8 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         if (epoch + 1) % cfg.train.checkpoint_freq == 0:
             # async: on-device snapshot now, device->host pull + file write
             # overlap the next epoch (the flagship state is ~1.6 GB)
-            checkpointer.save(cfg.train.ckp_dir, state, epoch)
+            checkpointer.save(cfg.train.ckp_dir, state, epoch,
+                              keep=cfg.train.keep_checkpoints)
         t_ckpt = time.time() - t_ckpt
         total = dt + t_ckpt + t_vis
         master_only_print(

@@ -22,6 +22,16 @@ device_get per call instead of per step), and the LAST step's aux pytree
 Per-step RNG folds the base key with `state.step` INSIDE the program, so
 the stream is identical regardless of K and resumes correctly from a
 checkpoint (the single-step loop folds with the same global step counter).
+
+Data-parallel meshes: pass `mesh` and the whole scan program runs under
+shard_map — the frame cache is sharded over DATA_AXIS (device_cache.py
+shard-major layout), index columns shard with it (each device's [K, B/n]
+block holds shard-LOCAL indices into its own HBM frame block), and the step
+body's pmean'd gradients / SyncBN statistics keep the replicated state in
+sync exactly as in the per-step mesh loop (reference analog: DDP +
+DistributedSampler, train.py:15-16, logger.py:55-58).  Multi-chip training
+thus gets the same host-free K-steps-per-dispatch loop as single-chip —
+the per-dispatch host cost is one [K, B] int32 transfer.
 """
 from __future__ import annotations
 
@@ -32,26 +42,25 @@ import jax.numpy as jnp
 
 from facevae_tpu.config import Config
 from facevae_tpu.train.state import TrainState
-from facevae_tpu.train.step import make_train_step
+from facevae_tpu.train.step import make_train_step, _AUX_TEMPLATE
 
 
 def make_scan_train_step(cfg: Config, models: Optional[Dict[str, Any]] = None,
-                         donate: bool = True):
+                         donate: bool = True, mesh=None):
     """Returns (models, scan_fn) with
 
         scan_fn(state, frames, s_idx, d_idx, rng) -> (state, metrics)
 
-    frames: [T, H, W, 3] uint8 device array (the whole train split);
+    frames: [T, H, W, 3] uint8 device array (the whole train split; with a
+    mesh, T = n_shards * S sharded over DATA_AXIS);
     s_idx/d_idx: [K, B] int32 frame indices (host-sampled, FramesDataset
-    semantics — see DeviceFrameCache.sample_indices); rng: base PRNG key.
+    semantics — see DeviceFrameCache.sample_indices; with a mesh the B
+    columns are shard-major shard-LOCAL indices); rng: base PRNG key.
     metrics: {"losses_g": {name: [K]}, "losses_d": {...}, "aux": last-step
     aux}.  K is static per compilation (one program per distinct K).
-
-    Single-device only (the device cache is unsharded); the mesh path keeps
-    the per-step loop.
     """
-    models, step_body = make_train_step(cfg, models=models, fused_aug=True,
-                                        raw=True)
+    models, step_body = make_train_step(cfg, models=models, mesh=mesh,
+                                        fused_aug=True, raw=True)
 
     def scan_fn(state: TrainState, frames, s_idx, d_idx, rng
                 ) -> Tuple[TrainState, Dict[str, Any]]:
@@ -78,5 +87,22 @@ def make_scan_train_step(cfg: Config, models: Optional[Dict[str, Any]] = None,
             body, (state, aux0), (s_idx, d_idx))
         return state, {"losses_g": losses_g, "losses_d": losses_d, "aux": aux}
 
-    jitted = jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
-    return models, jitted
+    donate_kw = dict(donate_argnums=(0,) if donate else ())
+    if mesh is None:
+        return models, jax.jit(scan_fn, **donate_kw)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from facevae_tpu.parallel import DATA_AXIS
+
+    idx_spec = P(None, DATA_AXIS)           # [K, B]: shard the batch columns
+    out_metric_spec = {
+        "losses_g": P(), "losses_d": P(),   # pmean'd inside -> replicated [K]
+        "aux": jax.tree.map(lambda _: P(DATA_AXIS), _AUX_TEMPLATE)}
+    sharded = jax.jit(shard_map(
+        scan_fn, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), idx_spec, idx_spec, P()),
+        out_specs=(P(), out_metric_spec),
+        check_vma=False,
+    ), **donate_kw)
+    return models, sharded

@@ -136,11 +136,13 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None,
             metrics_d = jax.lax.pmean(metrics_d, axis)
         return new_state, {"losses_g": metrics_g, "losses_d": metrics_d, "aux": aux}
 
+    if raw:
+        # uncompiled body — for callers embedding the step in a larger
+        # program (the multi-step lax.scan dispatcher, train/scan.py).  With
+        # a mesh the body already contains the pmean/axis_index collectives
+        # for DATA_AXIS; the caller owns the shard_map wrapping.
+        return models, step
     if mesh is None:
-        if raw:
-            # uncompiled body — for callers embedding the step in a larger
-            # program (the multi-step lax.scan dispatcher, train/scan.py)
-            return models, step
         return models, jax.jit(step, donate_argnums=(0,) if donate else ())
 
     state_spec = P()        # params/opt replicated

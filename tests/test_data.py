@@ -143,8 +143,9 @@ def test_device_augmentation(rng):
 
 def test_train_loop_scan_mode(data_dir, tmp_path):
     """Loop-level scan mode: device-cache loader + steps_per_call>1 runs the
-    lax.scan dispatcher end-to-end — add.txt lines for every (truncated)
-    step, checkpoint written, vis PNG written."""
+    lax.scan dispatcher end-to-end — NO steps dropped (the len%K remainder
+    runs as one final smaller chunk), add.txt lines for every step,
+    checkpoint written, vis PNG written."""
     import dataclasses
     from facevae_tpu.config import tiny_config
     from facevae_tpu.data.device_cache import DeviceFrameCache, CachedLoader
@@ -157,12 +158,14 @@ def test_train_loop_scan_mode(data_dir, tmp_path):
         ckp_dir=str(tmp_path / "ckp"), vis_dir=str(tmp_path / "vis"),
         log_file=str(tmp_path / "log.txt")))
     cache = DeviceFrameCache(data_dir, frame_shape=(64, 64, 3), num_workers=2)
-    # 5 steps of batch 2 -> truncates to 4 (2 chunks of K=2)
+    # 5 steps of batch 2 -> 2 chunks of K=2 + a remainder chunk of 1
     loader = CachedLoader(cache, batch_size=2, num_items=10, seed=0)
+    chunks = list(loader.iter_index_chunks(2))
+    assert [c[0].shape[0] for c in chunks] == [2, 2, 1]
 
     state = create_train_state(cfg, seed=0)
     state = train_loop(cfg, state, loader)
-    assert int(state.step) == 4
+    assert int(state.step) == 5                 # all len(loader) steps ran
 
     # add.txt grammar: ONE epoch-mean G line + one D line per epoch
     lines = open(cfg.train.log_file).read().strip().splitlines()
@@ -173,3 +176,40 @@ def test_train_loop_scan_mode(data_dir, tmp_path):
                                        "00000000-checkpoint.msgpack"))
     vis = os.listdir(cfg.train.vis_dir)
     assert any(f.endswith("-rec.png") for f in vis)
+
+
+def test_device_frame_cache_sharded(data_dir):
+    """Mesh-sharded cache: identities round-robin over shards
+    (DistributedSampler stride parity, reference train.py:15-16), frames laid
+    out shard-major with per-shard padding, sample_indices returns
+    shard-LOCAL indices whose gather matches direct host indexing."""
+    from facevae_tpu.data.device_cache import DeviceFrameCache
+    from facevae_tpu.parallel import make_mesh
+
+    mesh = make_mesh(2)
+    cache = DeviceFrameCache(data_dir, frame_shape=(64, 64, 3),
+                             num_workers=2, mesh=mesh)
+    assert cache.n_shards == 2
+    assert cache.shard_identities == [[0, 2], [1, 3]]
+    # 2 ids x 2 clips x 6 frames per shard -> S = 24, no padding waste
+    assert cache.shard_size == 24
+    assert cache.frames.shape == (48, 64, 64, 3)
+
+    rng_np = np.random.RandomState(0)
+    s_idx, d_idx = cache.sample_indices(rng_np, 8)
+    assert (s_idx <= d_idx).all()
+    assert (s_idx < cache.shard_size).all()          # shard-LOCAL
+    # both frames of a pair stay inside one clip of the right shard
+    flat_s, flat_d = cache.to_flat(s_idx), cache.to_flat(d_idx)
+    s = np.asarray(cache.gather(s_idx))
+    np.testing.assert_array_equal(s, np.asarray(cache.frames)[flat_s])
+    # shard-major layout: first half of the batch gathers from shard 0's
+    # [0, S) flat block, second half from shard 1's [S, 2S)
+    S = cache.shard_size
+    assert (flat_s[:4] < S).all() and (flat_s[4:] >= S).all()
+
+    # unsharded cache on the same data sees identical frame CONTENT
+    cache1 = DeviceFrameCache(data_dir, frame_shape=(64, 64, 3), num_workers=2)
+    f_sharded = np.asarray(cache.frames)
+    f_flat = np.asarray(cache1.frames)
+    assert sorted(map(bytes, f_sharded)) == sorted(map(bytes, f_flat))

@@ -29,7 +29,8 @@ def parse_args(argv=None):
     parser.add_argument("--num_workers", default=8, type=int)
     parser.add_argument("--ckp_dir", type=str, default="ckp")
     parser.add_argument("--vis_dir", type=str, default="vis")
-    parser.add_argument("--ckp", type=int, default=0, help="Checkpoint epoch to resume")
+    parser.add_argument("--ckp", type=int, default=0,
+                        help="Checkpoint epoch to resume (-1 = newest in ckp_dir)")
     parser.add_argument("--log_file", type=str, default="log.txt")
     parser.add_argument("--ext", type=str, default="", help="suffix appended to dirs/log")
     parser.add_argument("--root_dir", type=str, required=True, help="dataset path")
@@ -50,6 +51,10 @@ def parse_args(argv=None):
     parser.add_argument("--checkpoint_freq", type=int, default=1,
                         help="save a checkpoint every N epochs (reference: "
                              "every epoch, logger.py:183)")
+    parser.add_argument("--keep_checkpoints", type=int, default=5,
+                        help="retain only the N newest epoch checkpoints "
+                             "(0 = keep all, the reference's ~240 GB/150-epoch "
+                             "behavior); crash-saves are never pruned")
     parser.add_argument("--steps_per_call", type=int, default=1,
                         help="with --device_cache: K train steps per XLA "
                              "dispatch (lax.scan over the HBM cache) — "
@@ -95,6 +100,7 @@ def build_config(args):
         ckp_dir=args.ckp_dir, vis_dir=args.vis_dir, log_file=args.log_file,
         seed=args.seed, debug_nans=args.debug_nans,
         checkpoint_freq=args.checkpoint_freq,
+        keep_checkpoints=args.keep_checkpoints,
         steps_per_call=args.steps_per_call,
         profile_dir=args.profile_dir, tensorboard=args.tensorboard)
     data = dataclasses.replace(cfg.data, root_dir=args.root_dir,
@@ -133,12 +139,13 @@ def main(argv=None):
     if args.device_cache:
         if args.cpu_aug:
             raise SystemExit("--device_cache requires the on-device aug path")
-        if mesh is not None:
-            raise SystemExit("--device_cache is single-device for now")
         from facevae_tpu.data.device_cache import DeviceFrameCache, CachedLoader
+        # with a mesh the cache shards over the devices (identity round-robin,
+        # DistributedSampler parity) and the scan program runs under shard_map
         cache = DeviceFrameCache(cfg.data.root_dir,
                                  frame_shape=cfg.data.frame_shape,
-                                 num_workers=cfg.data.num_workers)
+                                 num_workers=cfg.data.num_workers,
+                                 mesh=mesh)
         loader = CachedLoader(cache, batch_size=global_batch,
                               num_items=cache.num_identities
                               * cfg.train.num_repeats,
@@ -163,11 +170,24 @@ def main(argv=None):
 
     state = create_train_state(cfg, seed=cfg.train.seed, axis_name=axis)
     start_epoch = 0
-    if args.ckp > 0:
-        state = load_checkpoint(cfg.train.ckp_dir, args.ckp, state)
+    ckp = args.ckp
+    if ckp == -1:
+        from facevae_tpu.train.checkpoint import latest_checkpoint_epoch
+        latest = latest_checkpoint_epoch(cfg.train.ckp_dir)
+        # resume even from epoch 0 (unlike the reference's `ckp > 0` gate,
+        # train.py:18 — a run killed in epoch 1 leaves only 00000000-*)
+        if latest is not None:
+            state = load_checkpoint(cfg.train.ckp_dir, latest, state)
+            start_epoch = int(state.epoch) + 1
+            if is_master():
+                print(f"resumed from epoch {latest} (latest), "
+                      f"continuing at {start_epoch}")
+        ckp = 0
+    if ckp > 0:
+        state = load_checkpoint(cfg.train.ckp_dir, ckp, state)
         start_epoch = int(state.epoch) + 1
         if is_master():
-            print(f"resumed from epoch {args.ckp}, continuing at {start_epoch}")
+            print(f"resumed from epoch {ckp}, continuing at {start_epoch}")
 
     train_loop(cfg, state, loader, mesh=mesh, start_epoch=start_epoch)
 
