@@ -7,11 +7,13 @@ with the reference's staleness fixed (quirk q1) and two extra modes.
   --source <img>      cross-identity reenactment from a source image
   --source s          expression sampling from the EFE latent (configs[5])
   --source i          expression interpolation between first/last frame
-  --source m          QUANTITATIVE eval: per-frame recon L1/MSE/PSNR over the
-                      test split (--driving = dataset ROOT); prints one JSON
-                      line.  The north-star metric (BASELINE.json recon L1)
-                      measured on a checkpoint — the reference only ever
-                      eyeballs gifs (evaluate.py:22-45).
+  --source m          QUANTITATIVE eval: recon L1/MSE/PSNR over the FULL test
+                      split (--driving = dataset ROOT), batched driving, with
+                      per-video records + L1/PSNR distribution; prints one
+                      JSON line and (--metrics_out) writes the full artifact.
+                      The north-star metric (BASELINE.json recon L1) measured
+                      on a checkpoint — the reference only ever eyeballs gifs
+                      (evaluate.py:22-45).
   --source p          cross-identity reenactment over PairedDataset pairs
                       (--driving = dataset ROOT; reference dataset.py:154-181)
 
@@ -33,8 +35,12 @@ def parse_args(argv=None):
     parser.add_argument("--driving", type=str, required=True,
                         help="Driving frame dir (modes m/p: dataset root)")
     parser.add_argument("--num_frames", type=int, default=90)
-    parser.add_argument("--num_videos", type=int, default=8,
-                        help="mode m: test videos to evaluate")
+    parser.add_argument("--num_videos", type=int, default=0,
+                        help="mode m: test videos to evaluate (0 = full split)")
+    parser.add_argument("--eval_batch", type=int, default=8,
+                        help="mode m: driving frames per dispatch")
+    parser.add_argument("--metrics_out", type=str, default="",
+                        help="mode m: also write the JSON artifact here")
     parser.add_argument("--num_pairs", type=int, default=4,
                         help="mode p: PairedDataset pairs to animate")
     parser.add_argument("--image_size", type=int, default=256)
@@ -44,37 +50,72 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def eval_metrics(pipe, root_dir, image_size, num_videos, num_frames):
+def eval_metrics(pipe, root_dir, image_size, num_videos, num_frames,
+                 batch: int = 8):
     """Recon L1/MSE/PSNR over the test split: frame 0 of each test video is
-    the source, every later frame is re-driven and compared to ground truth."""
+    the source, every later frame is re-driven and compared to ground truth.
+
+    A parity INSTRUMENT, not a smoke metric (the reference only eyeballs
+    gifs, evaluate.py:22-45): num_videos=0 evaluates the FULL test split,
+    frames drive in batches of `batch` per dispatch, and the result carries
+    the per-video L1/PSNR records plus their distribution so a trained-
+    checkpoint regression is detectable round-over-round (diff the JSON)."""
     import numpy as np
     import jax.numpy as jnp
     from facevae_tpu.data import FramesDataset
 
     ds = FramesDataset(root_dir, frame_shape=(image_size, image_size, 3),
                        is_train=False)
-    l1s, mses, n_frames = [], [], 0
-    for vid_idx in range(min(len(ds), num_videos)):
+    n_videos = len(ds) if num_videos <= 0 else min(len(ds), num_videos)
+    per_video, n_frames = [], 0
+    for vid_idx in range(n_videos):
         video = np.asarray(ds[vid_idx], np.float32)[:num_frames]
         if video.shape[0] < 2:
             continue
         fs, kp_c, kp_s, Rs = pipe.encode_source(jnp.asarray(video[:1]))
-        for t in range(1, video.shape[0]):
-            gt = video[t]
-            gen = np.asarray(pipe.drive_frame(fs, kp_c, kp_s, Rs,
-                                              jnp.asarray(gt[None])))[0]
-            gen = gen.clip(0.0, 1.0)
-            l1s.append(float(np.abs(gen - gt).mean()))
-            mses.append(float(((gen - gt) ** 2).mean()))
-            n_frames += 1
-    mse = float(np.mean(mses))
+        gt_all = video[1:]
+        gens = []
+        for off in range(0, gt_all.shape[0], batch):
+            chunk = gt_all[off:off + batch]
+            pad = batch - chunk.shape[0]
+            if pad:                          # fixed B: one compile total
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            out = np.asarray(pipe.drive_batch(fs, kp_c, kp_s, Rs,
+                                              jnp.asarray(chunk)))
+            gens.append(out[:batch - pad] if pad else out)
+        gen = np.concatenate(gens).clip(0.0, 1.0)
+        v_l1 = float(np.abs(gen - gt_all).mean())
+        v_mse = float(((gen - gt_all) ** 2).mean())
+        per_video.append({
+            "video": ds.videos[vid_idx],
+            "frames": int(gt_all.shape[0]),
+            "l1": round(v_l1, 6),
+            "mse": round(v_mse, 6),
+            "psnr_db": round(float(10.0 * np.log10(1.0 / max(v_mse, 1e-12))), 3),
+        })
+        n_frames += int(gt_all.shape[0])
+
+    weights = np.asarray([v["frames"] for v in per_video], np.float64)
+    l1s = np.asarray([v["l1"] for v in per_video])
+    mses = np.asarray([v["mse"] for v in per_video])
+    psnrs = np.asarray([v["psnr_db"] for v in per_video])
+    mse = float(np.average(mses, weights=weights))
+
+    def dist(x):
+        return {"p10": round(float(np.percentile(x, 10)), 6),
+                "p50": round(float(np.percentile(x, 50)), 6),
+                "p90": round(float(np.percentile(x, 90)), 6)}
+
     return {
         "metric": "recon_eval",
-        "recon_l1": round(float(np.mean(l1s)), 6),
+        "recon_l1": round(float(np.average(l1s, weights=weights)), 6),
         "recon_mse": round(mse, 6),
         "psnr_db": round(float(10.0 * np.log10(1.0 / max(mse, 1e-12))), 3),
         "frames": n_frames,
-        "videos": min(len(ds), num_videos),
+        "videos": len(per_video),
+        "l1_dist": dist(l1s),
+        "psnr_dist": dist(psnrs),
+        "per_video": per_video,
     }
 
 
@@ -102,8 +143,12 @@ def main(argv=None):
     if args.source == "m":
         import json
         out = eval_metrics(pipe, args.driving, args.image_size,
-                           args.num_videos, args.num_frames)
-        print(json.dumps(out))
+                           args.num_videos, args.num_frames,
+                           batch=args.eval_batch)
+        if args.metrics_out:
+            with open(args.metrics_out, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps({k: v for k, v in out.items() if k != "per_video"}))
         return out
 
     if args.source == "p":

@@ -96,6 +96,31 @@ class InferencePipeline:
         return self._jit(fn)
 
     @functools.cached_property
+    def drive_batch(self):
+        """(fs, kp_c, kp_s, Rs from ONE source; [B] driving frames) -> [B]
+        generated images.  The source encodings are broadcast across the
+        batch ON DEVICE, so quantitative eval (evaluate.py mode m) drives B
+        frames per dispatch instead of paying a tunnel round trip per frame.
+        Fixed B per compilation — callers pad the last chunk."""
+        def fn(variables, fs, kp_c, kp_s, Rs, imgs):
+            b = imgs.shape[0]
+
+            def tile(x):
+                return jnp.broadcast_to(x, (b,) + x.shape[1:])
+
+            apply = self._bound_apply(variables)
+            yaw, pitch, roll, t, scale = apply("hpe_ede", imgs)
+            kp_d_old, Rd = transform_kp(tile(kp_c), yaw, pitch, roll, t, scale)
+            if self.use_efe:
+                kp_d, *_ = apply("efe", imgs, None, kp_d_old)
+            else:
+                kp_d = kp_d_old
+            deformation, occlusion, _ = apply(
+                "mfe", tile(fs), tile(kp_s), kp_d, tile(Rs), Rd)
+            return apply("generator", tile(fs), deformation, occlusion)
+        return self._jit(fn)
+
+    @functools.cached_property
     def frontalize_frame(self):
         """frame -> frontalized frame (zero pose, reference evaluate.py:46-66)."""
         def fn(variables, img):

@@ -55,20 +55,33 @@ def eval_env(tmp_path_factory):
     return root, ckp_dir
 
 
-def test_evaluate_metrics_mode(eval_env):
-    """--source m: per-frame recon L1/MSE/PSNR over the test split, one JSON
-    line (the north-star recon-L1 measured on a checkpoint)."""
+def test_evaluate_metrics_mode(eval_env, tmp_path):
+    """--source m: recon L1/MSE/PSNR over the FULL test split (num_videos=0
+    default) with batched driving, per-video records + distribution, and a
+    JSON artifact file (the north-star recon-L1 measured on a checkpoint)."""
     root, ckp_dir = eval_env
+    import json
     import evaluate
+    metrics_out = str(tmp_path / "recon_eval.json")
     out = evaluate.main(["--ckp_dir", ckp_dir, "--ckp", "0", "--source", "m",
                          "--driving", root, "--tiny", "true",
-                         "--image_size", "64", "--num_videos", "2",
-                         "--num_frames", "3"])
+                         "--image_size", "64",
+                         "--num_frames", "3", "--eval_batch", "2",
+                         "--metrics_out", metrics_out])
     assert out["metric"] == "recon_eval"
-    assert out["frames"] == 2 * 2                 # 2 videos x (3-1) frames
+    # full split, padded-batch driving: every (3-1) frames of every test video
+    assert out["frames"] == out["videos"] * 2
     for k in ("recon_l1", "recon_mse", "psnr_db"):
         assert np.isfinite(out[k]), out
     assert 0.0 <= out["recon_l1"] <= 1.0
+    assert len(out["per_video"]) == out["videos"]
+    for rec in out["per_video"]:
+        assert rec["frames"] == 2 and 0.0 <= rec["l1"] <= 1.0
+    assert out["l1_dist"]["p10"] <= out["l1_dist"]["p90"]
+    # the committed-artifact path round-trips
+    disk = json.load(open(metrics_out))
+    assert disk["recon_l1"] == out["recon_l1"]
+    assert len(disk["per_video"]) == out["videos"]
 
 
 def test_evaluate_pairs_mode(eval_env, tmp_path):
