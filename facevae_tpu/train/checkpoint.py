@@ -20,6 +20,7 @@ from flax import serialization
 
 from facevae_tpu.parallel import is_master
 from facevae_tpu.train.state import TrainState
+from facevae_tpu.utils import locked_device_get
 
 _CKPT_RE = re.compile(r"^(\d{8})-checkpoint\.msgpack$")
 
@@ -70,7 +71,10 @@ def save_checkpoint(ckp_dir: str, state: TrainState, epoch: int,
         return None
     os.makedirs(ckp_dir, exist_ok=True)
     path = checkpoint_path(ckp_dir, epoch)
-    state = jax.device_get(state)
+    # chunked + lock-per-leaf: this runs on the AsyncCheckpointer thread
+    # while training dispatches; see utils.TRANSFER_LOCK for why the pull
+    # must not issue concurrently with other threads' transfers
+    state = locked_device_get(state)
     blob = serialization.to_bytes(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

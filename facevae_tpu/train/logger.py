@@ -96,10 +96,18 @@ class Visualizer:
         h, w = image.shape[:2]
         spatial = np.array([[w, h]], np.float32)
         kp = spatial * (kp + 1) / 2
-        yy, xx = np.mgrid[:h, :w]
+        # same disc test as the reference grid version, evaluated only inside
+        # each dot's bounding box (the full-image mask per keypoint was the
+        # visualizer's host-time hog: 360 × H*W boolean grids per epoch grid)
+        r = self.kp_size
         for i, (cx, cy) in enumerate(kp):
-            mask = ((yy - cy) ** 2 + (xx - cx) ** 2) <= self.kp_size ** 2
-            image[mask] = np.asarray(self.colormap(i / len(kp)))[:3]
+            y0, y1 = max(int(np.floor(cy)) - r, 0), min(int(np.ceil(cy)) + r + 1, h)
+            x0, x1 = max(int(np.floor(cx)) - r, 0), min(int(np.ceil(cx)) + r + 1, w)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            yy, xx = np.mgrid[y0:y1, x0:x1]
+            mask = ((yy - cy) ** 2 + (xx - cx) ** 2) <= r ** 2
+            image[y0:y1, x0:x1][mask] = np.asarray(self.colormap(i / len(kp)))[:3]
         return image
 
     def _column(self, images: np.ndarray) -> np.ndarray:

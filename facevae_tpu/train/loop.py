@@ -33,6 +33,7 @@ from facevae_tpu.train.checkpoint import AsyncCheckpointer, save_checkpoint
 from facevae_tpu.train.logger import ScalarLog, Visualizer, save_visualization
 from facevae_tpu.train.state import TrainState
 from facevae_tpu.train.step import make_train_step
+from facevae_tpu.utils import TRANSFER_LOCK
 
 
 _PROFILE_START = 10
@@ -61,9 +62,10 @@ def _device_prefetch(loader, sharding, depth: int = 2):
     def worker():
         try:
             for batch in loader:
-                arrays = tuple(
-                    jax.device_put(b, sharding) if sharding is not None
-                    else jnp.asarray(b) for b in batch)
+                with TRANSFER_LOCK:      # see utils.TRANSFER_LOCK
+                    arrays = tuple(
+                        jax.device_put(b, sharding) if sharding is not None
+                        else jnp.asarray(b) for b in batch)
                 while not stop.is_set():
                     try:
                         q.put(arrays, timeout=0.5)
@@ -162,7 +164,8 @@ class _MetricBuffer:
                     self._q.task_done()
 
     def _process(self, group):
-        host = jax.device_get(group)
+        with TRANSFER_LOCK:              # see utils.TRANSFER_LOCK
+            host = jax.device_get(group)
         for g, d in host:
             rows = []
             probe = next(iter(g.values()))
@@ -318,7 +321,8 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
                 index = epoch * len(loader) + idx
                 all_losses = {**losses_g, **losses_d}
                 writer.add_scalars("loss_all", all_losses, index)
-                aux = jax.device_get(_vis_cast(metrics["aux"]))
+                with TRANSFER_LOCK:
+                    aux = jax.device_get(_vis_cast(metrics["aux"]))
                 aux = jax.tree.map(lambda a: np.asarray(a, np.float32), aux)
                 image = visualizer.visualize(
                     np.asarray(s), np.asarray(d), aux["generated_d"],
@@ -343,12 +347,16 @@ def train_loop(cfg: Config, state: TrainState, loader, mesh=None,
         t_vis = time.time()
         vis_detail = ""
         if last_metrics is not None and is_master():
-            # fp16 halves the device->host pull; display precision only
-            aux = jax.device_get(_vis_cast(last_metrics["aux"]))
+            # fp16 halves the device->host pull; display precision only.
+            # TRANSFER_LOCK: the previous epoch's async checkpoint pull may
+            # still be in flight on its worker thread
+            with TRANSFER_LOCK:
+                aux = jax.device_get(_vis_cast(last_metrics["aux"]))
             aux = jax.tree.map(lambda a: np.asarray(a, np.float32), aux)
             t1 = time.time()
-            s_np = np.asarray(last_batch[0])
-            d_np = np.asarray(last_batch[1])
+            with TRANSFER_LOCK:
+                s_np = np.asarray(last_batch[0])
+                d_np = np.asarray(last_batch[1])
             if s_np.dtype == np.uint8:
                 s_np = s_np.astype(np.float32) / 255.0
                 d_np = d_np.astype(np.float32) / 255.0

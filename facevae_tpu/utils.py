@@ -2,6 +2,31 @@
 from __future__ import annotations
 
 import os
+import threading
+
+# Serializes host<->device transfer RPCs issued from BACKGROUND threads
+# (metric fetch worker, async checkpointer pull, loader prefetch puts).
+# The experimental tunneled runtime has deadlocked under concurrent
+# transfers from multiple host threads (a multi-epoch run stalled >45 min
+# at an epoch boundary with a 1.6 GB checkpoint device_get, a metric
+# device_get, and a prefetch device_put all in flight); on-device dispatch
+# from the main thread is unaffected, so holding this lock around each
+# background transfer serializes only host-side RPC issue, not compute
+# overlap.  Big pulls must CHUNK their gets (locked_device_get) so a
+# checkpoint pull cannot starve the hot loop's prefetch for seconds.
+TRANSFER_LOCK = threading.RLock()
+
+
+def locked_device_get(tree):
+    """device_get a pytree leaf-by-leaf, taking TRANSFER_LOCK per leaf so
+    other threads' transfers interleave with a multi-GB pull."""
+    import jax
+
+    def get_leaf(leaf):
+        with TRANSFER_LOCK:
+            return jax.device_get(leaf)
+
+    return jax.tree.map(get_leaf, tree)
 
 
 def enable_compilation_cache(path: str = "~/.cache/facevae_tpu_xla") -> None:

@@ -117,6 +117,16 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = build_config(args)
 
+    # hang diagnosis: FACEVAE_WATCHDOG=<secs> dumps every thread's stack to
+    # stderr on that period (non-fatal) — a stalled tunnel transfer then
+    # leaves its smoking gun in the run log instead of a silent timeout
+    wd = int(os.environ.get("FACEVAE_WATCHDOG", "0"))
+    if wd > 0:
+        import faulthandler
+        import sys
+        faulthandler.dump_traceback_later(wd, repeat=True, exit=False,
+                                          file=sys.stderr)
+
     import jax
     from facevae_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
