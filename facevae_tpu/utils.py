@@ -17,16 +17,28 @@ import threading
 TRANSFER_LOCK = threading.RLock()
 
 
-def locked_device_get(tree):
-    """device_get a pytree leaf-by-leaf, taking TRANSFER_LOCK per leaf so
-    other threads' transfers interleave with a multi-GB pull."""
+def locked_device_get(tree, chunk_bytes: int = 256 << 20):
+    """device_get a pytree in ~chunk_bytes leaf GROUPS, taking TRANSFER_LOCK
+    per group: other threads' transfers interleave with a multi-GB pull, but
+    each fetch still moves enough bytes to amortize the tunnel's per-call
+    round trip (a leaf-per-call pull of the 1.6 GB train state measured
+    ~145 s — hundreds of RTTs — vs seconds for the bulk get)."""
     import jax
 
-    def get_leaf(leaf):
+    leaves, treedef = jax.tree.flatten(tree)
+    out = []
+    group, group_bytes = [], 0
+    for leaf in leaves:
+        group.append(leaf)
+        group_bytes += getattr(leaf, "nbytes", 0)
+        if group_bytes >= chunk_bytes:
+            with TRANSFER_LOCK:
+                out.extend(jax.device_get(group))
+            group, group_bytes = [], 0
+    if group:
         with TRANSFER_LOCK:
-            return jax.device_get(leaf)
-
-    return jax.tree.map(get_leaf, tree)
+            out.extend(jax.device_get(group))
+    return jax.tree.unflatten(treedef, out)
 
 
 def enable_compilation_cache(path: str = "~/.cache/facevae_tpu_xla") -> None:
