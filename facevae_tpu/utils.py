@@ -17,12 +17,17 @@ import threading
 TRANSFER_LOCK = threading.RLock()
 
 
-def locked_device_get(tree, chunk_bytes: int = 256 << 20):
+def locked_device_get(tree, chunk_bytes: int = 64 << 20):
     """device_get a pytree in ~chunk_bytes leaf GROUPS, taking TRANSFER_LOCK
     per group: other threads' transfers interleave with a multi-GB pull, but
     each fetch still moves enough bytes to amortize the tunnel's per-call
     round trip (a leaf-per-call pull of the 1.6 GB train state measured
-    ~145 s — hundreds of RTTs — vs seconds for the bulk get)."""
+    ~145 s — hundreds of RTTs — vs seconds for the bulk get).  Group size
+    bounds the LOCK HOLD, and the hold bounds the hot loop's worst-case
+    prefetch delay: at 256 MB groups the per-epoch checkpoint pull measurably
+    drained the dispatch pipeline (epochs 101-153 s vs 72 s without
+    checkpointing); 64 MB keeps each hold ~1 s, inside the scan loop's
+    run-ahead buffer."""
     import jax
 
     leaves, treedef = jax.tree.flatten(tree)
