@@ -436,6 +436,14 @@ def _multi_plan(x, K1, NV):
                 return vb
         return None
 
+    # Z-BANDING (ops/pallas/warp_mm.py): fitting blocks contract a zb*H row
+    # band instead of the full D*H — a D/zb FLOP cut at bit-identical output
+    # (measured 1.66x on the MFE fwd shape, tools/proto_banded_warp.py).
+    # Requires D > zb so the band is a strict slice; FACEVAE_ZB overrides
+    # (0 disables — A/B knob).
+    zb = int(os.environ.get("FACEVAE_ZB", "8"))
+    zb = zb if (zb > 0 and D > zb) else None
+
     fused = K1 * C * 4                  # the fwd [VB, K1*C] f32 out block
     rows_b = DH * C * W * 2             # whole-volume rows (fwd reads all G)
     # experiment knob (bench A/B): force the channel grouping for the C=32
@@ -455,7 +463,7 @@ def _multi_plan(x, K1, NV):
         fused_g = K1 * (C // G) * 4     # the bwd [VB, K1*Cg] f32 gout block
         rows_g = DH * CWg * 2
         plan = {
-            "G": G,
+            "G": G, "zb": zb,
             "fwd": pick(DH * 14 + CWg * 20 + fused, 2 * rows_b,
                         env="FACEVAE_VB_FWD"),
             "dgrid": pick(DH * 22 + CWg * 30 + fused_g, 2 * rows_g,
@@ -471,7 +479,8 @@ def _multi_plan(x, K1, NV):
         if C % G or ((C // G) * W) % 128 != 0:
             continue
         CWg = (C // G) * W
-        plan = {"G": G, "fwd": pick(DH * 14 + CWg * 20 + fused, 2 * rows_b),
+        plan = {"G": G, "zb": zb,
+                "fwd": pick(DH * 14 + CWg * 20 + fused, 2 * rows_b),
                 "dgrid": None, "drows": None}
         if plan["fwd"] is not None:
             return plan
@@ -520,7 +529,8 @@ def _multi_px_fwd(x, cgx, cgy, cgz, spatial):
     from facevae_tpu.ops.pallas.warp_mm import warp_mm_fwd_multi_pallas
     G = plan["G"]
     out = warp_mm_fwd_multi_pallas(_rows4(x, G), cgx, cgy, cgz, D=D, H=H, W=W,
-                                   Cg=C // G, K1=K1, G=G, VB=plan["fwd"])
+                                   Cg=C // G, K1=K1, G=G, VB=plan["fwd"],
+                                   zb=plan["zb"])
     out = out.reshape(N, Do, Ho, Wo, K1 * C).astype(x.dtype)
     out = checkpoint_name(out, "warp_out")
     return out, (x, cgx, cgy, cgz)
@@ -550,7 +560,7 @@ def _multi_px_bwd(spatial, res, g):
     gout = g.reshape(N, NV, K1 * C).astype(jnp.float32)
     drows, dgx, dgy, dgz = warp_mm_bwd_multi_pallas(
         _rows4(x, G), cgx, cgy, cgz, gout, D=D, H=H, W=W, Cg=Cg, K1=K1, G=G,
-        VB_DGRID=plan["dgrid"], VB_DROWS=plan["drows"])
+        VB_DGRID=plan["dgrid"], VB_DROWS=plan["drows"], zb=plan["zb"])
     dx = drows.reshape(N, G, D, H, Cg, W).transpose(0, 2, 3, 5, 1, 4)
     dx = dx.reshape(N, D, H, W, C).astype(x.dtype)
     return dx, dgx, dgy, dgz

@@ -87,24 +87,79 @@ def _seg_matrix(C, W):
 # INSIDE one voxel block instead: coords arrive [N, K1, NV] (clean NV lanes),
 # the output/cotangent IS the fused [N, NV, K1*C] tensor the model uses, and
 # no transposes exist at the boundary.
+#
+# Z-BANDING (zb != None): the one-hot contraction's D*H width is ~250x the
+# useful taps, but a block of consecutive output voxels is z-COHERENT — its
+# sampled z spans a narrow band for realistic motions (the voxel axis is
+# (d,h,w)-ordered, so a block is a few y-rows of one output d-plane).  Per
+# block, when every k's clipped z-range fits zb values, the kernels contract
+# A_band [VB, zb*H] against a DYNAMIC sublane slice of the VMEM-resident rows
+# (scalar-start pl.ds — supported by Mosaic, unlike the per-lane gathers
+# PERF.md measured dead), at a D/zb FLOP cut; otherwise ONE block-level
+# pl.when takes the full-width loop.  Outputs are BIT-IDENTICAL either way:
+# the band only drops exact-zero addends from an fp32 accumulation, and the
+# tent weights are built from the same absolute z indices.  Measured
+# (tools/proto_banded_warp.py, MFE fwd shape): 28.6 -> 17.3 ms at fit rate
+# 1.0; 28.7 ms (parity) at fit rate 0.  The fits test uses CLIPPED coords, so
+# far-out-of-volume samples (all-zero taps) never force the full path.
 # ---------------------------------------------------------------------------
 
 
+def _z_band(gz_k, D, zb):
+    """Per-block band starts z0 [K1] + a single all-k fits flag.
+
+    gz_k [K1, VB] fp32 pixel-space z coords.  Nonzero tent taps of a voxel
+    lie in {floor(zc), floor(zc)+1} of its CLIPPED coord, so a band covering
+    [min floor, max floor + 1] is exact; it fits iff max-min <= zb - 2."""
+    zc = jnp.clip(gz_k, 0.0, D - 1.0)
+    lo = jnp.floor(jnp.min(zc, axis=1)).astype(jnp.int32)       # [K1]
+    hi = jnp.floor(jnp.max(zc, axis=1)).astype(jnp.int32)
+    fits = jnp.max(hi - lo) <= (zb - 2)
+    return jnp.minimum(lo, D - zb), fits
+
+
+def _band_A(gy, gz, z0, H, zb, need_grads):
+    """A (+dA/dgy, dA/dgz) over the zb*H band starting at absolute z0."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, zb * H), 1)
+    wz, dwz = _axis_weights(gz, zb, z0 + iota // H, need_grads)
+    wy, dwy = _axis_weights(gy, H, iota % H, need_grads)
+    A = (wz * wy).astype(jnp.bfloat16)
+    if not need_grads:
+        return A, None, None
+    return A, (wz * dwy).astype(jnp.bfloat16), (dwz * wy).astype(jnp.bfloat16)
+
+
 def _fwd_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, seg_ref, out_ref,
-                      *, D, H, W, Cg, K1, G):
-    outs = []
-    for k in range(K1):
-        A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
-                           need_grads=False)
-        wx, _ = _x_weights(gx_ref[0, k, :], W, Cg * W, need_grad=False)
-        for g in range(G):
-            S = jnp.dot(A, rows_ref[0, g], preferred_element_type=jnp.float32)
-            outs.append(jnp.dot((S * wx).astype(jnp.bfloat16), seg_ref[:],
-                                preferred_element_type=jnp.float32))  # [VB, Cg]
-    out_ref[0] = jnp.concatenate(outs, axis=-1)               # [VB, K1*G*Cg]
+                      *, D, H, W, Cg, K1, G, zb=None):
+    def emit(band):
+        outs = []
+        for k in range(K1):
+            if band:
+                z0 = z0s[k]
+                A, _, _ = _band_A(gy_ref[0, k, :], gz_ref[0, k, :], z0, H, zb,
+                                  need_grads=False)
+            else:
+                A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
+                                   need_grads=False)
+            wx, _ = _x_weights(gx_ref[0, k, :], W, Cg * W, need_grad=False)
+            for g in range(G):
+                rows = (rows_ref[0, g, pl.ds(pl.multiple_of(z0 * H, H), zb * H), :]
+                        if band else rows_ref[0, g])
+                S = jnp.dot(A, rows, preferred_element_type=jnp.float32)
+                outs.append(jnp.dot((S * wx).astype(jnp.bfloat16), seg_ref[:],
+                                    preferred_element_type=jnp.float32))  # [VB, Cg]
+        out_ref[0] = jnp.concatenate(outs, axis=-1)           # [VB, K1*G*Cg]
+
+    if zb is None:
+        emit(False)
+        return
+    z0s, fits = _z_band(gz_ref[0], D, zb)
+    pl.when(fits)(lambda: emit(True))
+    pl.when(jnp.logical_not(fits))(lambda: emit(False))
 
 
-def warp_mm_fwd_multi_pallas(rows4, cgx, cgy, cgz, *, D, H, W, Cg, K1, G, VB):
+def warp_mm_fwd_multi_pallas(rows4, cgx, cgy, cgz, *, D, H, W, Cg, K1, G, VB,
+                             zb=None):
     """rows4 [N, G, DH, Cg*W] bf16 (G contiguous channel groups); coords
     [N, K1, NV] f32.  Returns [N, NV, K1*G*Cg] f32 — channel (k, g, cg)
     ordering, i.e. k-major with the original channel order inside each k."""
@@ -117,7 +172,7 @@ def warp_mm_fwd_multi_pallas(rows4, cgx, cgy, cgz, *, D, H, W, Cg, K1, G, VB):
     cspec = pl.BlockSpec((1, K1, VB), lambda b, bpz=bpz: (b // bpz, 0, b % bpz),
                          memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_multi_kernel, D=D, H=H, W=W, Cg=Cg,
-                               K1=K1, G=G)
+                               K1=K1, G=G, zb=zb)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, NV, K1 * G * Cg), jnp.float32),
@@ -135,7 +190,8 @@ def warp_mm_fwd_multi_pallas(rows4, cgx, cgy, cgz, *, D, H, W, Cg, K1, G, VB):
 
 
 def _dgrid_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
-                        dgx_ref, dgy_ref, dgz_ref, *, D, H, W, Cg, K1):
+                        dgx_ref, dgy_ref, dgz_ref, *, D, H, W, Cg, K1,
+                        zb=None):
     """One (n, g, z) grid step: coordinate-gradient PARTIALS from channel
     group g only (the G partials are summed outside the kernel — an XLA add
     over tiny [G,N,K1,NV] arrays).  Coordinate gradients via TWO matmuls per
@@ -143,34 +199,53 @@ def _dgrid_multi_kernel(rows_ref, gx_ref, gy_ref, gz_ref, gout_ref, segT_ref,
     (both [VB, DH]),
       dgx = rowsum(A  . Ux)   (reassociation of rowsum(S*dwx*gout))
       dgy = rowsum(Ay . U)    — U is SHARED by the y- and z-axis grads,
-      dgz = rowsum(Az . U)      saving one VB*DH*CWg contraction per k."""
-    rows = rows_ref[0, 0]                                       # [DH, CWg]
+      dgz = rowsum(Az . U)      saving one VB*DH*CWg contraction per k.
+    With zb set, the fitting-block path contracts against the zb*H band only
+    (A/Ay/Az are exactly zero outside it — bit-identical grads)."""
     gout = gout_ref[0, 0]                                       # [VB, K1*Cg]
-    dgxs, dgys, dgzs = [], [], []
-    for k in range(K1):
-        A, Ay, Az = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
-                             need_grads=True)
-        wx, dwx = _x_weights(gx_ref[0, k, :], W, Cg * W)
-        gout_rep = jnp.dot(gout[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16),
-                           segT_ref[:], preferred_element_type=jnp.float32)
-        U = jax.lax.dot_general(
-            (gout_rep * wx).astype(jnp.bfloat16), rows,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [VB, DH]
-        Ux = jax.lax.dot_general(
-            (gout_rep * dwx).astype(jnp.bfloat16), rows,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dgxs.append(jnp.sum(A * Ux, axis=-1))
-        dgys.append(jnp.sum(Ay * U, axis=-1))
-        dgzs.append(jnp.sum(Az * U, axis=-1))
-    dgx_ref[0, 0] = jnp.stack(dgxs)                                 # [K1, VB]
-    dgy_ref[0, 0] = jnp.stack(dgys)
-    dgz_ref[0, 0] = jnp.stack(dgzs)
+
+    def emit(band):
+        dgxs, dgys, dgzs = [], [], []
+        for k in range(K1):
+            if band:
+                z0 = z0s[k]
+                A, Ay, Az = _band_A(gy_ref[0, k, :], gz_ref[0, k, :], z0, H,
+                                    zb, need_grads=True)
+                rows = rows_ref[0, 0,
+                                pl.ds(pl.multiple_of(z0 * H, H), zb * H), :]
+            else:
+                A, Ay, Az = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
+                                     need_grads=True)
+                rows = rows_ref[0, 0]
+            wx, dwx = _x_weights(gx_ref[0, k, :], W, Cg * W)
+            gout_rep = jnp.dot(
+                gout[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16),
+                segT_ref[:], preferred_element_type=jnp.float32)
+            U = jax.lax.dot_general(
+                (gout_rep * wx).astype(jnp.bfloat16), rows,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [VB, band]
+            Ux = jax.lax.dot_general(
+                (gout_rep * dwx).astype(jnp.bfloat16), rows,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dgxs.append(jnp.sum(A * Ux, axis=-1))
+            dgys.append(jnp.sum(Ay * U, axis=-1))
+            dgzs.append(jnp.sum(Az * U, axis=-1))
+        dgx_ref[0, 0] = jnp.stack(dgxs)                             # [K1, VB]
+        dgy_ref[0, 0] = jnp.stack(dgys)
+        dgz_ref[0, 0] = jnp.stack(dgzs)
+
+    if zb is None:
+        emit(False)
+        return
+    z0s, fits = _z_band(gz_ref[0], D, zb)
+    pl.when(fits)(lambda: emit(True))
+    pl.when(jnp.logical_not(fits))(lambda: emit(False))
 
 
 def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
-                        *, D, H, W, Cg, K1):
+                        *, D, H, W, Cg, K1, zb=None):
     """One (n, g, z) grid step: scatter-as-matmul into group g's row block.
 
     The output block covers ONE channel group ((1,1,DH,CWg), revisited
@@ -178,7 +253,8 @@ def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
     16.12M scoped vmem at the generator shape (G=4) and cannot fit; per-group
     blocks also let the voxel block grow.  Accumulates straight into the
     VMEM-resident output ref (a [DH,CWg] register accumulator would add its
-    f32 size to the stack on top of the block itself)."""
+    f32 size to the stack on top of the block itself).  With zb set, fitting
+    blocks accumulate A_band^T @ upd into the band's row slice only."""
     z = pl.program_id(2)
     gout = gout_ref[0, 0]                                       # [VB, K1*Cg]
 
@@ -186,20 +262,39 @@ def _drows_multi_kernel(gx_ref, gy_ref, gz_ref, gout_ref, segT_ref, drows_ref,
     def _():
         drows_ref[:] = jnp.zeros_like(drows_ref)
 
-    for k in range(K1):
-        A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
-                           need_grads=False)
-        wx, _ = _x_weights(gx_ref[0, k, :], W, Cg * W, need_grad=False)
-        gout_rep = jnp.dot(gout[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16),
-                           segT_ref[:], preferred_element_type=jnp.float32)
-        upd = (gout_rep * wx).astype(jnp.bfloat16)
-        drows_ref[0, 0] += jax.lax.dot_general(
-            A, upd, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [DH, CWg]
+    def emit(band):
+        for k in range(K1):
+            if band:
+                z0 = z0s[k]
+                A, _, _ = _band_A(gy_ref[0, k, :], gz_ref[0, k, :], z0, H, zb,
+                                  need_grads=False)
+            else:
+                A, _, _ = _build_A(gy_ref[0, k, :], gz_ref[0, k, :], D, H,
+                                   need_grads=False)
+            wx, _ = _x_weights(gx_ref[0, k, :], W, Cg * W, need_grad=False)
+            gout_rep = jnp.dot(
+                gout[:, k * Cg:(k + 1) * Cg].astype(jnp.bfloat16),
+                segT_ref[:], preferred_element_type=jnp.float32)
+            upd = (gout_rep * wx).astype(jnp.bfloat16)
+            dn = jax.lax.dot_general(
+                A, upd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [band, CWg]
+            if band:
+                drows_ref[0, 0,
+                          pl.ds(pl.multiple_of(z0 * H, H), zb * H), :] += dn
+            else:
+                drows_ref[0, 0] += dn
+
+    if zb is None:
+        emit(False)
+        return
+    z0s, fits = _z_band(gz_ref[0], D, zb)
+    pl.when(fits)(lambda: emit(True))
+    pl.when(jnp.logical_not(fits))(lambda: emit(False))
 
 
 def warp_mm_bwd_multi_pallas(rows4, cgx, cgy, cgz, gout, *, D, H, W, Cg, K1, G,
-                             VB_DGRID, VB_DROWS):
+                             VB_DGRID, VB_DROWS, zb=None):
     """gout [N, NV, K1*G*Cg] f32.  Returns (drows [N, G, DH, CWg] f32,
     dgx, dgy, dgz [N, K1, NV] f32).
 
@@ -229,7 +324,8 @@ def warp_mm_bwd_multi_pallas(rows4, cgx, cgy, cgz, gout, *, D, H, W, Cg, K1, G,
         return pl.BlockSpec((1, 1, vb, KCg), lambda n, g, z: (n, g, z, 0),
                             memory_space=pltpu.VMEM)
 
-    k1 = functools.partial(_dgrid_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1)
+    k1 = functools.partial(_dgrid_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1,
+                           zb=zb)
     dgp = pl.pallas_call(
         k1,
         out_shape=(jax.ShapeDtypeStruct((G, N, K1, NV), jnp.float32),) * 3,
@@ -242,7 +338,8 @@ def warp_mm_bwd_multi_pallas(rows4, cgx, cgy, cgz, gout, *, D, H, W, Cg, K1, G,
     )(rows4, cgx, cgy, cgz, gout_g, segT)
     dgx, dgy, dgz = (p.sum(axis=0) for p in dgp)
 
-    k2 = functools.partial(_drows_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1)
+    k2 = functools.partial(_drows_multi_kernel, D=D, H=H, W=W, Cg=Cg, K1=K1,
+                           zb=zb)
     drows = pl.pallas_call(
         k2,
         out_shape=jax.ShapeDtypeStruct((N, G, DH, CWg), jnp.float32),

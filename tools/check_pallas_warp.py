@@ -122,6 +122,59 @@ def check_multi(N, D, H, W, C, K1):
           f"{tm/tp:5.2f}x")
 
 
+def check_banded(N=8, D=16, H=64, W=64, C=4, K1=16):
+    """Z-banded kernels (default) vs FACEVAE_ZB=0 full-width kernels: outputs
+    and grads must be BIT-identical (the band only drops exact-zero addends
+    from fp32 accumulations), at both fit regimes."""
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (N, D, H, W, C), jnp.bfloat16)
+
+    def affine_grids(theta_deg):
+        th = np.deg2rad(theta_deg)
+        jac = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        zz, yy, xx = np.meshgrid(np.arange(D), np.arange(H), np.arange(W),
+                                 indexing="ij")
+        gn = np.stack([xx / (W - 1) * 2 - 1, yy / (H - 1) * 2 - 1,
+                       zz / (D - 1) * 2 - 1], -1).reshape(-1, 3) @ jac.T
+        b = np.random.RandomState(0).randn(N, K1, 1, 3).astype(np.float32) * 0.1
+        return jnp.asarray((gn[None, None] + b).reshape(N, K1, D, H, W, 3))
+
+    def run(x, grids):
+        def loss(x, g):
+            out = fw.grid_sample_3d_multi(x, g, K1)
+            return (out.astype(jnp.float32) ** 2).sum(), out
+        (v, out), (dx, dg) = jax.jit(jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True))(x, grids)
+        return jax.device_get((v, out, dx, dg))
+
+    for theta, regime in ((4.0, "fit~1"), (45.0, "mixed/fallback")):
+        grids = affine_grids(theta)
+        os.environ["FACEVAE_ZB"] = "0"
+        full = run(x, grids)
+        os.environ.pop("FACEVAE_ZB")
+        band = run(x, grids)
+        # loss/out/dx are BIT-identical (the band drops exact-zero addends
+        # from fp32 accumulations; the drows/S contractions are element-wise
+        # the same).  dgrids' rowsum(A*U) reduction tree pairs the nonzero
+        # taps differently at band width vs full width — fp32
+        # reduction-order noise only.
+        for a, b, name in zip(band[:3], full[:3], ("loss", "out", "dx")):
+            same = np.array_equal(np.asarray(a), np.asarray(b))
+            print(f"  banded vs full ({regime}) {name}: "
+                  f"{'BIT-IDENTICAL' if same else 'MISMATCH'}")
+            assert same, (regime, name,
+                          float(np.abs(np.asarray(a, np.float64)
+                                       - np.asarray(b, np.float64)).max()))
+        dg_b = np.asarray(band[3], np.float64)
+        dg_f = np.asarray(full[3], np.float64)
+        e = np.abs(dg_b - dg_f).max()
+        sc = np.abs(dg_f).max() + 1e-12
+        print(f"  banded vs full ({regime}) dgrids: max abs {e:.2e} "
+              f"(scale {sc:.2f}; fp32 reduction-order bound)")
+        assert e <= 1e-4 * sc, (regime, e, sc)
+
+
 def check_tps(N=8, H=256, W=256):
     """bf16 MXU TPS warp (pre-reflected coords, D=1 multi path) vs the exact
     fp32 gather path."""
@@ -144,6 +197,7 @@ def check_tps(N=8, H=256, W=256):
 
 
 def main():
+    check_banded()
     check_multi(8, 16, 64, 64, 4, 16)       # MFE shape (G=1)
     check_multi(8, 16, 64, 64, 32, 1)       # generator shape (grouped, G=8)
     check(8, 16, 64, 64, 4, 16, "single-k kernels (fallback path)")
