@@ -13,8 +13,21 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from facevae_tpu.nn import Conv, ConvBlock, ResBlock2D, UpBlock2D
+from facevae_tpu.nn import Conv, ConvBlock, ResBlock2D, UpBlock2D, fold_depth
 from facevae_tpu.ops.fast_warp import warp_single
+
+
+def _gen_fold_mode() -> str:
+    """How the warped volume reaches in_conv — all three are the same
+    function of the SAME checkpoint params (layers.py Conv docs):
+      'cmajor'    physical transpose to torch's view(N, C*D, H, W) channels
+      'dmajor'    fold_depth transpose + apply-time kernel permute
+      'fulldepth' NO fold: full-depth 3D conv on the volume itself
+    FACEVAE_GEN_FOLD overrides for A/B; default cmajor (full-step bench
+    measured the three within noise — the fold copy is ~0.1% of the step;
+    PERF.md round 5)."""
+    import os
+    return os.environ.get("FACEVAE_GEN_FOLD", "cmajor")
 
 
 class Generator(nn.Module):

@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from facevae_tpu.nn import Conv, DownBlock3D, UpBlock3D
+from facevae_tpu.nn import Conv, DownBlock3D, UpBlock3D, fold_depth
 from facevae_tpu.ops.fast_warp import warp_multi_pixel
 from facevae_tpu.ops.motion import (
     create_heatmap_representations_cl, motion_affine_params,
@@ -75,17 +75,23 @@ class MFE(nn.Module):
                           self.use_weight_norm, axis_name=ax)(x, train)
         x = jnp.concatenate([inp, x], axis=-1)                   # [N,D,H,W,80+32]
 
+        # ONE shared depth fold (d-major, nn.fold_depth) feeds both folded
+        # consumers below — the 112-channel volume is transposed once per
+        # step (fwd + bwd) instead of once per consumer.
+        x2 = fold_depth(x)                                       # [N,H,W,D*C]
         # 7³ conv 112->K+1: z-banded depth-folded execution (exact math, same
         # params; the direct lowering ran at ~3% MXU — nn/layers.py)
-        mask = Conv(K1, 7, 1, 3, dim=3, z_banded=True, name="mask_conv")(x, train)
+        mask = Conv(K1, 7, 1, 3, dim=3, z_banded=True, depth_folded=D,
+                    name="mask_conv")(x2, train)
         # softmax + blended coordinates in fp32 (warp precision); the blend
         # reduces to mask-weighted keypoint tables (ops/motion.py)
         mask = nn.softmax(mask.astype(jnp.float32), axis=-1)     # [N,D,H,W,K+1]
         deformation = blend_deformation(mask, jac, b)
 
-        # torch view(N, C*D, H, W): channel = c*D + d -> transpose C before D
-        C = x.shape[-1]
-        flat = x.transpose(0, 2, 3, 4, 1).reshape(N, H, W, C * D)
-        occlusion = Conv(1, 7, 1, 3, dim=2, name="occlusion_conv")(flat, train)
+        # torch view(N, C*D, H, W) = c-major channels; the folded tensor is
+        # d-major, so the (tiny) occlusion kernel is permuted at apply time
+        # instead of re-transposing the activation (Conv.depth_folded).
+        occlusion = Conv(1, 7, 1, 3, dim=2, depth_folded=D,
+                         name="occlusion_conv")(x2, train)
         occlusion = nn.sigmoid(occlusion)                        # [N,H,W,1]
         return deformation, occlusion, mask

@@ -9,7 +9,8 @@ Collections:
   'spectral'     — spectral-norm power-iteration vectors (u)
 """
 from facevae_tpu.nn.init import torch_kernel_init, torch_bias_init
-from facevae_tpu.nn.layers import Conv, Dense, BatchNorm, InstanceNorm
+from facevae_tpu.nn.layers import (Conv, Dense, BatchNorm, InstanceNorm,
+                                   fold_depth)
 from facevae_tpu.nn.blocks import (
     ConvBlock,
     DownBlock2D, DownBlock3D,

@@ -62,9 +62,17 @@ class ConvBlock(nn.Module):
     # phase groups.  Param tree identical to the unpacked block (blocks can
     # switch execution per backend without touching checkpoints).
     s2d_io: bool = False
+    # Depth-layout passthroughs to Conv (see nn/layers.py Conv).  Both are
+    # C-first-pattern only ("CNA"/"CN..."): the norm/activation then see the
+    # conv's ordinary 2D output.  Param tree identical to the plain block.
+    depth_folded: int = 0
+    full_depth_3d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.depth_folded or self.full_depth_3d:
+            assert self.pattern.find("C") == 0, \
+                "depth-layout conv modes require a C-first pattern"
         c_pos = self.pattern.find("C")
         n_pos = self.pattern.find("N")
         norm_channels = self.out_channels if 0 <= c_pos < n_pos or n_pos < 0 else self.in_channels
@@ -72,7 +80,8 @@ class ConvBlock(nn.Module):
             if ch == "C":
                 x = Conv(self.out_channels, self.kernel_size, self.stride, self.padding,
                          dim=self.dim, use_spectral_norm=self.use_weight_norm,
-                         s2d_io=self.s2d_io)(x, train)
+                         s2d_io=self.s2d_io, depth_folded=self.depth_folded,
+                         full_depth_3d=self.full_depth_3d)(x, train)
             elif ch == "N":
                 if self.norm_type == "batch":
                     x = BatchNorm(norm_channels, axis_name=self.axis_name,

@@ -137,6 +137,21 @@ class Conv(nn.Module):
     # block-level packing in nn/blocks.py; requires dim=3, k=3, stride 1,
     # padding 1, no spectral norm.
     s2d_io: bool = False
+    # Input arrives DEPTH-FOLDED d-major ([N,H,W,D*Cin], fold_depth lane
+    # order, D = this value).  Lets several depth-folding consumers share ONE
+    # physical transpose of the volume (MFE's mask conv + occlusion conv both
+    # fold the same 112-channel tensor).  z_banded convs skip their internal
+    # input fold; dim=2 convs keep the checkpoint's c-major (c*D+d) kernel
+    # layout and permute the kernel (tiny) to d-major at apply time instead
+    # of transposing the activation.  0 = input is the normal layout.
+    depth_folded: int = 0
+    # dim=2 conv over torch's view(N, C*D, H, W) channels executed as a
+    # FULL-DEPTH 3D conv on the volume itself: input [N,D,H,W,C], kernel
+    # z-extent = D, z-padding VALID -> output [N,H,W,features] with NO
+    # physical depth fold at all.  Param stays the checkpoint's 2D c-major
+    # (ky,kx,C*D,F) layout; the (tiny) kernel is permuted to (D,ky,kx,C,F)
+    # at apply time.  Exact same contraction (kz*ky*kx*C = ky*kx*C*D).
+    full_depth_3d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -144,7 +159,14 @@ class Conv(nn.Module):
         ks = (self.kernel_size,) * d if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
         st = (self.strides,) * d if isinstance(self.strides, int) else tuple(self.strides)
         pd = (self.padding,) * d if isinstance(self.padding, int) else tuple(self.padding)
-        in_features = x.shape[-1] // 4 if self.s2d_io else x.shape[-1]
+        if self.s2d_io:
+            in_features = x.shape[-1] // 4
+        elif self.depth_folded and d == 3:
+            in_features = x.shape[-1] // self.depth_folded
+        elif self.full_depth_3d and d == 2:
+            in_features = x.shape[1] * x.shape[-1]   # D * C (volume input)
+        else:
+            in_features = x.shape[-1]
         fan_in = in_features
         for k in ks:
             fan_in *= int(k)
@@ -192,10 +214,34 @@ class Conv(nn.Module):
             return y
         if (self.z_banded and d == 3 and st == (1, 1, 1)
                 and pd[0] == ks[0] // 2 and not self.use_spectral_norm):
-            y = _z_banded_conv3d(x.astype(dtype), kernel.astype(dtype),
-                                 (pd[1], pd[2]))
+            if self.depth_folded:
+                y = _z_banded_conv3d_folded(x.astype(dtype),
+                                            kernel.astype(dtype),
+                                            (pd[1], pd[2]), self.depth_folded)
+            else:
+                y = _z_banded_conv3d(x.astype(dtype), kernel.astype(dtype),
+                                     (pd[1], pd[2]))
+        elif self.full_depth_3d and d == 2:
+            D, C = x.shape[1], x.shape[-1]
+            # checkpoint (ky,kx,c*D+d,f) -> volume kernel (d,ky,kx,c,f)
+            w = kernel.reshape(ks + (C, D, self.features))
+            w = w.transpose(3, 0, 1, 2, 4)
+            y = conv_cl(x.astype(dtype), w.astype(dtype), (1,) + st,
+                        [(0, 0)] + [(p, p) for p in pd])
+            y = jnp.squeeze(y, axis=1)
         else:
-            y = conv_cl(x.astype(dtype), kernel.astype(dtype), st,
+            w = kernel
+            if self.depth_folded and d == 2:
+                # checkpoint layout is c-major (channel = c*D + d, torch
+                # view(N, C*D, H, W)); the folded activation is d-major.
+                # Permuting the (tiny) kernel instead of the activation is
+                # the whole point of depth_folded.
+                D = self.depth_folded
+                C = in_features // D
+                w = kernel.reshape(ks + (C, D, self.features))
+                w = w.transpose(tuple(range(d)) + (d + 1, d, d + 2))
+                w = w.reshape(ks + (in_features, self.features))
+            y = conv_cl(x.astype(dtype), w.astype(dtype), st,
                         [(p, p) for p in pd])
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
@@ -291,17 +337,22 @@ def _s2d_conv3d(x, kernel):
     return s2d_unpack(_s2d_conv3d_packed(s2d_pack(x), kernel))
 
 
-def _z_banded_conv3d(x, kernel, pad_yx):
-    """3D conv (stride 1, z-padding kz//2) as a 2D conv over depth-folded
-    channels with a banded [D*Ci, D*Co] kernel.
+def fold_depth(x):
+    """[N,D,H,W,C] -> [N,H,W,D*C] (d-major: channel = d*C + c) — the ONE
+    physical transpose shared by every depth-folding consumer of a volume
+    (Conv(depth_folded=D): MFE's z-banded mask conv + occlusion conv read
+    the same folded tensor, so the 112-channel volume is transposed once
+    per step instead of once per consumer, forward and backward)."""
+    N, D, H, W, C = x.shape
+    return x.transpose(0, 2, 3, 1, 4).reshape(N, H, W, D * C)
 
-    The band structure encodes both the z-window and the zero z-padding:
-    W2[:, :, di*Ci+ci, do*Co+co] = kernel[di-do+rz, :, :, ci, co] when
-    |di-do| <= rz, else 0 — out-of-range taps simply have no di row.  Exact
-    same math as the direct conv; the build is linear in `kernel`, so the
-    backward differentiates through the slice-assembly for free."""
+
+def _z_banded_conv3d_folded(x2, kernel, pad_yx, D):
+    """z-banded conv on an ALREADY depth-folded input [N,H,W,D*Ci]
+    (fold_depth order); returns the volume layout [N,D,H,W,Co]."""
     import numpy as np
-    N, D, H, W, Ci = x.shape
+    N, H, W, DCi = x2.shape
+    Ci = DCi // D
     kz, ky, kx, _, Co = kernel.shape
     rz = kz // 2
     # constant band indicator E[dz, di, do] = 1 iff di - do == dz - rz; the
@@ -314,9 +365,20 @@ def _z_banded_conv3d(x, kernel, pad_yx):
                 E[dz, di, do] = 1.0
     W2 = jnp.einsum("zpq,zyxio->yxpiqo", jnp.asarray(E, kernel.dtype), kernel)
     W2 = W2.reshape(ky, kx, D * Ci, D * Co)
-    x2 = x.transpose(0, 2, 3, 1, 4).reshape(N, H, W, D * Ci)
     y = conv_cl(x2, W2, (1, 1), [(p, p) for p in pad_yx])
     return y.reshape(N, H, W, D, Co).transpose(0, 3, 1, 2, 4)
+
+
+def _z_banded_conv3d(x, kernel, pad_yx):
+    """3D conv (stride 1, z-padding kz//2) as a 2D conv over depth-folded
+    channels with a banded [D*Ci, D*Co] kernel.
+
+    The band structure encodes both the z-window and the zero z-padding:
+    W2[:, :, di*Ci+ci, do*Co+co] = kernel[di-do+rz, :, :, ci, co] when
+    |di-do| <= rz, else 0 — out-of-range taps simply have no di row.  Exact
+    same math as the direct conv; the build is linear in `kernel`, so the
+    backward differentiates through the slice-assembly for free."""
+    return _z_banded_conv3d_folded(fold_depth(x), kernel, pad_yx, x.shape[1])
 
 
 class Dense(nn.Module):

@@ -63,6 +63,44 @@ def test_conv3d_z_banded_exact(rng):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_conv_depth_folded_exact(rng):
+    """Conv(depth_folded=D) on a fold_depth'd input is the SAME function of
+    the SAME params as the unfolded path, for both folded consumers:
+    the z-banded 3D conv (skips its internal fold) and the dim=2 conv over
+    torch's c-major view(N, C*D, H, W) channels (kernel permuted, not the
+    activation) — the sharing MFE uses (models/mfe.py)."""
+    from facevae_tpu.nn import fold_depth
+
+    x = rng.randn(2, 6, 8, 8, 5).astype(np.float32)
+    N, D, H, W, C = x.shape
+    x2 = fold_depth(jnp.asarray(x))
+    assert x2.shape == (N, H, W, D * C)
+
+    # z-banded: folded input, volume output
+    m_band = Conv(4, 7, 1, 3, dim=3, z_banded=True)
+    m_fold = Conv(4, 7, 1, 3, dim=3, z_banded=True, depth_folded=D)
+    v = m_band.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(m_fold.apply(v, x2)),
+                               np.asarray(m_band.apply(v, jnp.asarray(x))),
+                               rtol=1e-5, atol=1e-5)
+
+    # dim=2 over c-major folded channels (the occlusion-conv contract)
+    cmaj = jnp.asarray(x).transpose(0, 2, 3, 4, 1).reshape(N, H, W, C * D)
+    m2 = Conv(3, 7, 1, 3, dim=2)
+    m2f = Conv(3, 7, 1, 3, dim=2, depth_folded=D)
+    v2 = m2.init(jax.random.PRNGKey(1), cmaj)
+    np.testing.assert_allclose(np.asarray(m2f.apply(v2, x2)),
+                               np.asarray(m2.apply(v2, cmaj)),
+                               rtol=1e-5, atol=1e-5)
+
+    # kernel grads land in the checkpoint (c-major) layout on both paths
+    g2 = jax.grad(lambda v: jnp.sum(m2.apply(v, cmaj) ** 2))(v2)
+    g2f = jax.grad(lambda v: jnp.sum(m2f.apply(v, x2) ** 2))(v2)
+    np.testing.assert_allclose(np.asarray(g2f["params"]["kernel"]),
+                               np.asarray(g2["params"]["kernel"]),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_s2d_blocks_exact(rng, monkeypatch):
     """Block-level space-to-depth packed execution (FACEVAE_S2D=1): the
     packed Res/Down/Up 3D blocks compute the same function of the SAME param
